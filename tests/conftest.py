@@ -1,16 +1,27 @@
 """Test configuration: force a deterministic 8-device virtual CPU mesh.
 
-Sharding/collective tests need multiple devices; we simulate them on CPU
-(the driver's dryrun does the same for the multi-chip path).
-Must run before jax is imported anywhere in the test process.
+Numeric/sharding tests run on CPU (8 virtual devices) so they are fast and
+deterministic; the driver separately compile-checks the TPU path, and
+`bench.py` runs on the real chip. The axon TPU plugin (if present) overrides
+JAX_PLATFORMS via jax.config at interpreter start, so we override it back
+here — conftest runs before any test imports jax functions.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the limb kernels produce large XLA graphs and
+# recompiling them on every pytest run dominates wall time.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(__file__))
