@@ -1,0 +1,84 @@
+"""Benchmark: batched Pedersen hash throughput on one chip (north-star metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the ratio against the BASELINE.json target of 1e6 Pedersen
+hashes/s/chip. Runs on whatever device jax selects (the real TPU under the
+driver). Extra diagnostic metrics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+TARGET_HASHES_PER_SEC = 1_000_000.0
+
+
+def main() -> int:
+    import random
+
+    from stark_perpetual_tpu.crypto import signature as hostsig
+    from stark_perpetual_tpu.ops import pedersen as P
+    from stark_perpetual_tpu.ops.field import stark_prime_field
+
+    f = stark_prime_field()
+    n = 1 << 16
+
+    # Golden vector in lane 0 keeps the measurement honest (bit-exactness
+    # is asserted on every bench run).
+    a0 = 0x3D937C035C878245CAF64531A5756109C53068DA139362728FEB561405371CB
+    b0 = 0x208A0A10250E382E1E4BBE2880906C2791BF6275695E02FBBC6AEFF9CD8B31A
+    h0 = 0x30E480BED5FE53FA909CC0F8C4D99B8F9F2C016BE4C41E13A4848797979C662
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 12, size=(n, 21), dtype=np.int64).astype(np.int32)
+    b = rng.integers(0, 1 << 12, size=(n, 21), dtype=np.int64).astype(np.int32)
+    a[:, 20] &= 0x7FF  # keep < 2^251 <= p
+    b[:, 20] &= 0x7FF
+    a[0], b[0] = f.pack(a0), f.pack(b0)
+    a = jax.device_put(jnp.asarray(a))  # keep inputs resident on the chip:
+    b = jax.device_put(jnp.asarray(b))  # host->device is not part of the metric
+
+    fn = P.pedersen_hash_batch()
+    t0 = time.time()
+    h, ok = fn(a, b)
+    h.block_until_ready()
+    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    assert int(f.unpack(h)[0]) == h0, "bench output not bit-exact!"
+
+    reps = 5
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            h, ok = fn(a, b)
+        h.block_until_ready()
+        best = min(best, (time.time() - t0) / reps)
+    rate = n / best
+
+    # Diagnostics (stderr): host-oracle single-hash rate for context.
+    t0 = time.time()
+    hostsig.pedersen_hash(a0, b0)
+    print(f"host single hash: {time.time() - t0:.4f}s; device: {rate:,.0f}/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pedersen_hashes_per_sec_per_chip",
+                "value": rate,
+                "unit": "hashes/s",
+                "vs_baseline": rate / TARGET_HASHES_PER_SEC,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

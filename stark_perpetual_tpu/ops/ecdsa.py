@@ -250,7 +250,7 @@ class EcdsaOps:
     @functools.cached_property
     def _gen_msm(self):
         t = _ped._tables()
-        return _ped.WindowedMSM(t["genx"], t["geny"])
+        return _ped._make_msm(t["genx"], t["geny"])
 
     @functools.cached_property
     def jit_verify(self):

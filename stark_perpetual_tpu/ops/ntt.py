@@ -1,0 +1,157 @@
+"""NTT / LDE over the Stark field for TPU.
+
+The Stark prime p = 2^251 + 17*2^192 + 1 has 2-adicity 192 (p - 1 =
+2^192 * (2^59 + 17)), so radix-2 NTTs exist for every power-of-two size up
+to 2^192; the multiplicative generator is g = 3 (pedersen_params:
+FIELD_GEN). There is no NTT in the reference (the prover is closed); this
+is a required component of the TPU framework per BASELINE.json.
+
+Design:
+  - Iterative radix-2 DIT with a host-precomputed bit-reversal permutation
+    and per-stage twiddle tables in Montgomery form.
+  - Each stage is one batched mont_mul + add + sub over N/2 butterflies:
+    pure vector ops on the (N, 21) limb array; log2(N) stages.
+  - The distributed (multi-chip) four-step decomposition lives in
+    `stark_perpetual_tpu.parallel.ntt_dist` and reuses these local kernels.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stark_perpetual_tpu.ops.field import Field, N_LIMBS, pack_ints, stark_prime_field
+from stark_perpetual_tpu.params import FIELD_GEN, FIELD_PRIME
+
+TWO_ADICITY = 192
+_ODD_PART = (FIELD_PRIME - 1) >> TWO_ADICITY
+
+
+def root_of_unity(order: int) -> int:
+    """Primitive root of unity of the given power-of-two order (host int)."""
+    assert order & (order - 1) == 0 and order > 0
+    assert order <= 1 << TWO_ADICITY
+    return pow(FIELD_GEN, _ODD_PART << (TWO_ADICITY - order.bit_length() + 1), FIELD_PRIME)
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int32)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(n: int, inverse: bool) -> tuple:
+    """Montgomery-form twiddle tables for each butterfly stage of size-n NTT."""
+    f = stark_prime_field()
+    tables = []
+    m = 1
+    while m < n:
+        w = root_of_unity(2 * m)
+        if inverse:
+            w = pow(w, 2 * m - 1, FIELD_PRIME)  # w^-1
+        tw = [pow(w, j, FIELD_PRIME) for j in range(m)]
+        tables.append(jnp.asarray(pack_ints([(t << 252) % FIELD_PRIME for t in tw])))
+        m *= 2
+    return tuple(tables)
+
+
+def _ntt_mont(x: jnp.ndarray, n: int, inverse: bool, f: Field) -> jnp.ndarray:
+    """Core transform; x: (..., n, 21) Montgomery-domain values (batched)."""
+    batch = x.shape[:-2]
+    x = jnp.take(x, jnp.asarray(_bitrev_perm(n)), axis=-2)
+    for stage, tw in enumerate(_stage_twiddles(n, inverse)):
+        m = 1 << stage
+        blocks = x.reshape(*batch, n // (2 * m), 2, m, N_LIMBS)
+        even = blocks[..., 0, :, :]
+        t = f.mont_mul(blocks[..., 1, :, :], tw)
+        x = jnp.stack([f.add(even, t), f.sub(even, t)], axis=-3).reshape(
+            *batch, n, N_LIMBS
+        )
+    if inverse:
+        n_inv = pow(n, FIELD_PRIME - 2, FIELD_PRIME)
+        n_inv_m = jnp.asarray(pack_ints([(n_inv << 252) % FIELD_PRIME])[0])
+        x = f.mont_mul(x, jnp.broadcast_to(n_inv_m, x.shape))
+    return x
+
+
+class NttOps:
+    """Jitted NTT entry points over standard-domain limb arrays."""
+
+    def __init__(self):
+        self.f = stark_prime_field()
+
+    @functools.lru_cache(maxsize=None)
+    def _jit_for(self, n: int, inverse: bool, domain: str):
+        _ = _stage_twiddles(n, inverse)  # build tables eagerly
+
+        def impl(x):
+            f = self.f
+            if domain == "std":
+                x = f.to_mont(x)
+            y = _ntt_mont(x, n, inverse, f)
+            if domain == "std":
+                y = f.from_mont(y)
+            return y
+
+        return jax.jit(impl)
+
+    def ntt(self, x: jnp.ndarray, inverse: bool = False, mont: bool = False) -> jnp.ndarray:
+        """(n, 21) limb array -> NTT (or inverse). n must be a power of two."""
+        n = x.shape[0]
+        assert n & (n - 1) == 0
+        return self._jit_for(n, inverse, "mont" if mont else "std")(x)
+
+    def lde(self, coeffs: jnp.ndarray, blowup: int, shift: Optional[int] = None) -> jnp.ndarray:
+        """Low-degree extension: evaluate the polynomial with `coeffs` on the
+        coset shift * <w> of size blowup * n. coeffs standard-domain limbs.
+        """
+        n = coeffs.shape[0]
+        big = n * blowup
+        assert big & (big - 1) == 0
+        if shift is None:
+            shift = FIELD_GEN
+        # Scale coefficient i by shift^i (host-precomputed constants).
+        scales = []
+        acc = 1
+        for _ in range(n):
+            scales.append((acc << 252) % FIELD_PRIME)
+            acc = acc * shift % FIELD_PRIME
+        scale_m = jnp.asarray(pack_ints(scales))
+        f = self.f
+        cm = f.mont_mul(f.to_mont(coeffs), scale_m)
+        padded = jnp.concatenate(
+            [cm, jnp.zeros((big - n, N_LIMBS), dtype=jnp.int32)], axis=0
+        )
+        return f.from_mont(self._jit_for(big, False, "mont")(padded))
+
+
+@functools.lru_cache(maxsize=1)
+def ntt_ops() -> NttOps:
+    return NttOps()
+
+
+# -- host reference (for tests) --------------------------------------------
+
+
+def dft_host(values, inverse: bool = False):
+    """O(n^2) host DFT oracle (small n only)."""
+    n = len(values)
+    w = root_of_unity(n)
+    if inverse:
+        w = pow(w, n - 1, FIELD_PRIME)
+    out = []
+    for k in range(n):
+        acc = 0
+        for j, v in enumerate(values):
+            acc = (acc + v * pow(w, j * k, FIELD_PRIME)) % FIELD_PRIME
+        if inverse:
+            acc = acc * pow(n, FIELD_PRIME - 2, FIELD_PRIME) % FIELD_PRIME
+        out.append(acc)
+    return out

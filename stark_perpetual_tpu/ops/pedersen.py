@@ -141,14 +141,29 @@ class WindowedMSM:
         return acc, bad
 
 
+def _use_pallas() -> bool:
+    mode = os.environ.get("STARK_TPU_MSM_ENGINE", "auto")
+    if mode in ("pallas", "xla"):
+        return mode == "pallas"
+    return jax.default_backend() not in ("cpu",)
+
+
+def _make_msm(tx, ty, init_affine=None):
+    if _use_pallas():
+        from stark_perpetual_tpu.ops.pedersen_pallas import PallasMSM
+
+        return PallasMSM(tx, ty, init_affine=init_affine)
+    return WindowedMSM(tx, ty, init_affine=init_affine)
+
+
 @functools.lru_cache(maxsize=1)
-def _pedersen_msm() -> WindowedMSM:
-    # One 64-window scan: element-0 windows then element-1 windows, starting
-    # the accumulation at the shift point (hash = SHIFT + sum of selections).
+def _pedersen_msm():
+    # One 64-window accumulation: element-0 windows then element-1 windows,
+    # starting at the shift point (hash = SHIFT + sum of selections).
     t = _tables()
     tx = np.concatenate([t["p0x"], t["p1x"]], axis=0)
     ty = np.concatenate([t["p0y"], t["p1y"]], axis=0)
-    return WindowedMSM(tx, ty, init_affine=SHIFT_POINT)
+    return _make_msm(tx, ty, init_affine=SHIFT_POINT)
 
 
 @functools.lru_cache(maxsize=1)
@@ -173,7 +188,7 @@ def pedersen_hash_batch():
 def stark_key_batch():
     """Jitted (priv_limbs,) -> (pub_x, pub_y, ok): batched private-to-public."""
     t = _tables()
-    msm = WindowedMSM(t["genx"], t["geny"])
+    msm = _make_msm(t["genx"], t["geny"])
 
     def impl(priv_limbs):
         acc, bad = msm.accumulate(byte_windows(priv_limbs))

@@ -1,0 +1,65 @@
+"""Multi-device (8 virtual CPU devices) sharding tests: DP + distributed NTT."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from stark_perpetual_tpu.ops import ntt as NTT
+from stark_perpetual_tpu.ops.field import stark_prime_field
+from stark_perpetual_tpu.parallel import dp as DP
+from stark_perpetual_tpu.parallel import ntt_dist as ND
+from stark_perpetual_tpu.parallel.mesh import make_mesh
+from stark_perpetual_tpu.params import FIELD_PRIME
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    return make_mesh(8, ("dp",))
+
+
+def test_pedersen_dp_matches_local(mesh):
+    f = stark_prime_field()
+    rng = random.Random(11)
+    n = 8 * 64
+    a_vals = [rng.randrange(FIELD_PRIME) for _ in range(n)]
+    b_vals = [rng.randrange(FIELD_PRIME) for _ in range(n)]
+    a, b = f.pack(a_vals), f.pack(b_vals)
+
+    fn = DP.pedersen_hash_dp(mesh, "dp")
+    h, ok = fn(a, b)
+    assert bool(np.asarray(ok).all())
+    from stark_perpetual_tpu.ops.pedersen import pedersen_hash_batch
+
+    h_local, _ = pedersen_hash_batch()(a, b)
+    assert np.array_equal(np.asarray(h), np.asarray(h_local))
+
+
+def test_stark_key_dp(mesh):
+    from stark_perpetual_tpu.ops.field import pack_ints
+
+    privs = list(range(1, 65)) * 8
+    fn = DP.stark_key_dp(mesh, "dp")
+    x, y, ok = fn(pack_ints(privs))
+    assert bool(np.asarray(ok).all())
+    f = stark_prime_field()
+    # Spot-check lane 0 against the golden fixture (priv=1 -> EC_GEN.x).
+    assert int(f.unpack(x)[0]) == 0x1EF15C18599971B7BECED415A40F0C7DEACFD9B0D1819E03D723D8BC943CFCA
+
+
+def test_distributed_ntt_matches_local(mesh):
+    f = stark_prime_field()
+    rng = random.Random(12)
+    n = 4096
+    vals = [rng.randrange(FIELD_PRIME) for _ in range(n)]
+    x = f.pack(vals)
+
+    fn, (c_total, r_total) = ND.make_dist_ntt(mesh, n, axis="dp")
+    y = fn(x)
+    assert y.shape == (c_total, r_total, 21)
+    got = ND.untranspose(np.asarray(y))
+
+    expected = np.asarray(NTT.ntt_ops().ntt(x))
+    assert np.array_equal(got, expected)
