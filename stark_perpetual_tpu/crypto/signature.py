@@ -238,10 +238,16 @@ def pedersen_hash_as_point(*elements: int) -> ECPoint:
 
 
 def fast_pedersen_hash(x: int, y: int) -> int:
-    """Windowed host Pedersen (low-248/high-4 split), equal in value to the
-    AIR-faithful path; the host analog of the reference's C-accelerated path
-    (fast_pedersen_hash.py:34-44). Uses the per-bit doubling tables directly.
+    """Fast host Pedersen, equal in value to the AIR-faithful path; the host
+    analog of the reference's C-accelerated path (fast_pedersen_hash.py:34-44).
+    Uses the native C library when available, else the per-bit tables.
     """
+    from stark_perpetual_tpu.runtime import native
+
+    if native.available():
+        result = native.pedersen_hash(x, y)
+        if result is not None:
+            return result
     acc = EcInfinity
     for i, element in enumerate((x, y)):
         assert 0 <= element < FIELD_PRIME, "Element integer value is out of range"

@@ -1,0 +1,323 @@
+"""Generic AIR -> STARK proving framework (trace, constraints, FRI).
+
+The framework layer that turns an algebraic intermediate representation
+(trace columns + transition/boundary constraints) into a FRI-backed
+low-degree proof, with every polynomial-sized operation batched on the
+device (NTT/LDE, constraint evaluation, batched inversion for quotients,
+Merkle commitment, FRI folds).
+
+This is the stage-9 scaffold of the build plan (SURVEY.md section 7): the
+perpetual business logic (models/perpetual) defines *what* must hold; an
+`Air` subclass encodes those relations as polynomial constraints. The
+framework is exercised end-to-end by the Fibonacci demo AIR in tests and by
+`PedersenAir`-style traces in later rounds.
+
+Soundness notes: the composition uses one random alpha per constraint and
+per-query trace-consistency checks against the committed trace; DEEP-ALI
+sampling is left for a later round (documented gap).
+"""
+
+from dataclasses import dataclass
+from typing import Callable, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from stark_perpetual_tpu.ops.field import N_LIMBS, stark_prime_field, unpack_ints
+from stark_perpetual_tpu.ops.fri import Channel, FriProof, fri_commit, fri_verify
+from stark_perpetual_tpu.ops.merkle import (
+    auth_path_from_levels,
+    dense_commit_device,
+    verify_path,
+)
+from stark_perpetual_tpu.ops.ntt import ntt_ops, root_of_unity
+from stark_perpetual_tpu.ops.pedersen import pedersen_hash_ints
+from stark_perpetual_tpu.params import FIELD_GEN, FIELD_PRIME
+
+
+class Air:
+    """An algebraic intermediate representation.
+
+    Subclasses define:
+      n_columns: trace width.
+      transition_degree: max algebraic degree of transition constraints.
+      eval_transitions(f, cur, nxt) -> list of (rows, 21) limb arrays, the
+        constraint values C_k(f(x), f(g x)) evaluated lane-wise (device).
+      transition_exprs_host(cur_vals, nxt_vals) -> list of ints: the same
+        constraints on scalar ints (used by the verifier at query points).
+      boundary() -> list of (column, row, value) assertions.
+    """
+
+    n_columns: int = 1
+    transition_degree: int = 1
+
+    def eval_transitions(self, f, cur, nxt) -> List[jnp.ndarray]:
+        raise NotImplementedError
+
+    def transition_exprs_host(self, cur_vals: List[int], nxt_vals: List[int]) -> List[int]:
+        raise NotImplementedError
+
+    def boundary(self) -> List[Tuple[int, int, int]]:
+        return []
+
+
+@dataclass
+class StarkProof:
+    trace_root: int
+    trace_length: int
+    blowup: int
+    fri: FriProof
+    # per query: (openings at q, openings at q_next, paths at q, paths at q_next)
+    trace_openings: List[Tuple[List[int], List[int], List[int], List[int]]]
+
+
+def _row_leaves(columns_lde: List[List[int]]) -> List[int]:
+    """Leaf per LDE row: fold the row's column values in a Pedersen chain."""
+    n = len(columns_lde[0])
+    acc = [0] * n
+    for col in columns_lde:
+        acc = pedersen_hash_ints(list(zip(acc, col)))
+    return acc
+
+
+class StarkProver:
+    def __init__(self, air: Air, blowup: int = 8, n_queries: int = 16):
+        self.air = air
+        self.blowup = blowup
+        self.n_queries = n_queries
+        self.f = stark_prime_field()
+
+    def prove(self, trace_columns: Sequence[Sequence[int]]) -> StarkProof:
+        f = self.f
+        air = self.air
+        n = len(trace_columns[0])
+        assert n & (n - 1) == 0
+        big = n * self.blowup
+        ntt = ntt_ops()
+
+        # 1. Interpolate and low-degree-extend every column onto the coset.
+        coeffs = [np.asarray(ntt.ntt(f.pack(list(col)), inverse=True)) for col in trace_columns]
+        ldes = [np.asarray(ntt.lde(jnp.asarray(c), self.blowup, shift=FIELD_GEN)) for c in coeffs]
+        lde_ints = [[int(v) for v in unpack_ints(l)] for l in ldes]
+
+        # 2. Commit the trace (row leaves over all columns).
+        leaves = _row_leaves(lde_ints)
+        leaf_limbs = f.pack(leaves)
+        trace_root, trace_levels = dense_commit_device(leaf_limbs)
+
+        channel = Channel()
+        channel.absorb(trace_root)
+
+        # 3. Constraint evaluation on the LDE domain (device, lane-wise).
+        cur = [jnp.asarray(l) for l in ldes]
+        nxt = [jnp.roll(jnp.asarray(l), -self.blowup, axis=0) for l in ldes]
+        cur_m = [f.to_mont(c) for c in cur]
+        nxt_m = [f.to_mont(c) for c in nxt]
+        constraint_vals = air.eval_transitions(f, cur_m, nxt_m)  # mont domain
+
+        # 4. Quotients: transition constraints vanish on all rows but the
+        # last: Z(x) = (x^n - 1) / (x - g_last).
+        xs_n = _coset_power_table(f, big, FIELD_GEN, n)  # x_i^n (mont)
+        one_m = jnp.broadcast_to(jnp.asarray(f.pack((1 << 252) % FIELD_PRIME)), xs_n.shape)
+        zden = f.sub(xs_n, one_m)  # x^n - 1
+        g_last = pow(root_of_unity(n), n - 1, FIELD_PRIME)
+        xs = _coset_power_table(f, big, FIELD_GEN, 1)
+        glast_m = jnp.broadcast_to(jnp.asarray(f.pack((g_last << 252) % FIELD_PRIME)), xs.shape)
+        x_minus_glast = f.sub(xs, glast_m)
+        # 1/Z = (x - g_last) / (x^n - 1)
+        inv_zden = f.batch_inv(zden, group=min(64, big))
+        inv_z = f.mont_mul(x_minus_glast, inv_zden)
+
+        alphas = [channel.challenge() for _ in constraint_vals]
+        comp = jnp.zeros((big, N_LIMBS), dtype=jnp.int32)
+        for alpha, cval in zip(alphas, constraint_vals):
+            alpha_m = jnp.broadcast_to(
+                jnp.asarray(f.pack((alpha << 252) % FIELD_PRIME)), cval.shape
+            )
+            comp = f.add(comp, f.mont_mul(alpha_m, f.mont_mul(cval, inv_z)))
+
+        # 5. Boundary quotients: (f(x) - v) / (x - x_row).
+        inv_x_minus = {}
+        for col, row, value in air.boundary():
+            alpha = channel.challenge()
+            x_row = FIELD_GEN * 0 + pow(root_of_unity(n), row, FIELD_PRIME)
+            if x_row not in inv_x_minus:
+                xrow_m = jnp.broadcast_to(
+                    jnp.asarray(f.pack((x_row << 252) % FIELD_PRIME)), xs.shape
+                )
+                inv_x_minus[x_row] = f.batch_inv(f.sub(xs, xrow_m), group=min(64, big))
+            v_m = jnp.broadcast_to(
+                jnp.asarray(f.pack((value << 252) % FIELD_PRIME)), xs.shape
+            )
+            alpha_m = jnp.broadcast_to(
+                jnp.asarray(f.pack((alpha << 252) % FIELD_PRIME)), xs.shape
+            )
+            numer = f.sub(cur_m[col], v_m)
+            comp = f.add(comp, f.mont_mul(alpha_m, f.mont_mul(numer, inv_x_minus[x_row])))
+
+        comp_std = f.from_mont(comp)
+        comp_ints = [int(v) for v in unpack_ints(np.asarray(comp_std))]
+
+        # 6. FRI on the composition codeword, seeded by the running channel.
+        fri_proof = fri_commit(
+            comp_ints,
+            offset=FIELD_GEN,
+            final_size=max(4, self.air.transition_degree * 2),
+            n_queries=self.n_queries,
+            channel_seed=channel.state,
+        )
+
+        # 7. Open the trace at the FRI query points (and their next-row
+        # counterparts) so the verifier can recompute the composition.
+        openings = []
+        for q in fri_proof.indices:
+            q_next = (q + self.blowup) % big
+            vals_q = [lde_ints[c][q] for c in range(air.n_columns)]
+            vals_qn = [lde_ints[c][q_next] for c in range(air.n_columns)]
+            openings.append(
+                (
+                    vals_q,
+                    vals_qn,
+                    auth_path_from_levels(trace_levels, q),
+                    auth_path_from_levels(trace_levels, q_next),
+                )
+            )
+
+        return StarkProof(
+            trace_root=trace_root,
+            trace_length=n,
+            blowup=self.blowup,
+            fri=fri_proof,
+            trace_openings=openings,
+        )
+
+
+def _coset_power_table(f, size: int, offset: int, power: int) -> jnp.ndarray:
+    """Montgomery limbs of (offset * w^i)^power for i < size (prefix scan)."""
+    import jax
+
+    w = root_of_unity(size)
+    wp = pow(w, power, FIELD_PRIME)
+    base = pow(offset, power, FIELD_PRIME)
+    wp_m = jnp.broadcast_to(jnp.asarray(f.pack((wp << 252) % FIELD_PRIME)), (size, N_LIMBS))
+    prefix = jax.lax.associative_scan(f.mont_mul, wp_m, axis=0)
+    one = jnp.asarray(f.pack((1 << 252) % FIELD_PRIME))[None]
+    powers = jnp.concatenate([one, prefix[:-1]], axis=0)
+    base_m = jnp.broadcast_to(jnp.asarray(f.pack((base << 252) % FIELD_PRIME)), (size, N_LIMBS))
+    return f.mont_mul(base_m, powers)
+
+
+def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
+    """Re-derive channel values, check trace openings, recompute the
+    composition at every query, and verify the FRI proof."""
+    n = proof.trace_length
+    big = n * proof.blowup
+    channel = Channel()
+    channel.absorb(proof.trace_root)
+
+    # Re-derive alphas in prover order.
+    n_transitions = len(air.transition_exprs_host([0] * air.n_columns, [0] * air.n_columns))
+    t_alphas = [channel.challenge() for _ in range(n_transitions)]
+    boundary = air.boundary() if claimed_boundary is None else claimed_boundary
+    b_alphas = [channel.challenge() for _ in boundary]
+
+    final_size = max(4, air.transition_degree * 2)
+    degree_bound = n * air.transition_degree
+    if not fri_verify(
+        proof.fri,
+        final_size=final_size,
+        channel_seed=channel.state,
+        degree_bound=degree_bound,
+    ):
+        return False
+
+    # Re-derive the query indices exactly as fri_verify does.
+    fri_channel = Channel(channel.state)
+    for root in proof.fri.layer_roots:
+        fri_channel.absorb(root)
+        fri_channel.challenge()
+    for c in proof.fri.final_coeffs:
+        fri_channel.absorb(c)
+    indices = fri_channel.query_indices(len(proof.fri.queries), big)
+
+    w_big = root_of_unity(big)
+    w_n = root_of_unity(n)
+    g_last = pow(w_n, n - 1, FIELD_PRIME)
+    for q, (vals_q, vals_qn, path_q, path_qn), per_layer in zip(
+        indices, proof.trace_openings, proof.fri.queries
+    ):
+        q_next = (q + proof.blowup) % big
+        leaf_q = _fold_row(vals_q)
+        leaf_qn = _fold_row(vals_qn)
+        if not verify_path(leaf_q, q, path_q, proof.trace_root):
+            return False
+        if not verify_path(leaf_qn, q_next, path_qn, proof.trace_root):
+            return False
+
+        x = FIELD_GEN * pow(w_big, q, FIELD_PRIME) % FIELD_PRIME
+        zx = (pow(x, n, FIELD_PRIME) - 1) * pow(
+            (x - g_last) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME
+        ) % FIELD_PRIME
+        inv_z = pow(zx, FIELD_PRIME - 2, FIELD_PRIME)
+        comp = 0
+        for alpha, cval in zip(t_alphas, air.transition_exprs_host(vals_q, vals_qn)):
+            comp = (comp + alpha * cval % FIELD_PRIME * inv_z) % FIELD_PRIME
+        for alpha, (col, row, value) in zip(b_alphas, boundary):
+            x_row = pow(w_n, row, FIELD_PRIME)
+            inv = pow((x - x_row) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
+            comp = (comp + alpha * ((vals_q[col] - value) % FIELD_PRIME) % FIELD_PRIME * inv) % FIELD_PRIME
+
+        # The FRI layer-0 opening at q must equal the recomputed composition.
+        half = big // 2
+        fx, fmx = per_layer[0][0], per_layer[0][1]
+        observed = fx if q < half else fmx
+        if observed != comp:
+            return False
+    return True
+
+
+def _fold_row(vals: List[int]) -> int:
+    acc = 0
+    for v in vals:
+        acc = pedersen_hash_ints([(acc, v)])[0]
+    return acc
+
+
+# --- demo AIR --------------------------------------------------------------
+
+
+class FibonacciAir(Air):
+    """Two-column Fibonacci AIR: (a, b) -> (b, a + b); degree-1 transitions."""
+
+    n_columns = 2
+    transition_degree = 1
+
+    def __init__(self, a0: int = 1, b0: int = 1, final_b: int = None, n_rows: int = None):
+        self.a0, self.b0 = a0, b0
+        self.final_b = final_b
+        self.n_rows = n_rows
+
+    def eval_transitions(self, f, cur, nxt):
+        c0 = f.sub(nxt[0], cur[1])  # a' - b
+        c1 = f.sub(nxt[1], f.add(cur[0], cur[1]))  # b' - (a + b)
+        return [c0, c1]
+
+    def transition_exprs_host(self, cur_vals, nxt_vals):
+        return [
+            (nxt_vals[0] - cur_vals[1]) % FIELD_PRIME,
+            (nxt_vals[1] - cur_vals[0] - cur_vals[1]) % FIELD_PRIME,
+        ]
+
+    def boundary(self):
+        out = [(0, 0, self.a0), (1, 0, self.b0)]
+        if self.final_b is not None and self.n_rows is not None:
+            out.append((1, self.n_rows - 1, self.final_b))
+        return out
+
+    @staticmethod
+    def trace(n_rows: int, a0: int = 1, b0: int = 1):
+        a, b = [a0], [b0]
+        for _ in range(n_rows - 1):
+            a.append(b[-1])
+            b.append((a[-2] + b[-1]) % FIELD_PRIME)
+        return [a, b]

@@ -19,7 +19,49 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from stark_perpetual_tpu.ops.pedersen import pedersen_hash_ints
+from stark_perpetual_tpu.ops.pedersen import pedersen_hash_batch, pedersen_hash_ints
+
+
+def dense_commit_device(leaf_limbs) -> Tuple[int, list]:
+    """Merkle-commit a large power-of-two leaf array of (N, 21) limb rows.
+
+    Levels >= 128 leaves hash as full device batches; the small top of the
+    tree finishes on the host path. Returns (root, levels) where levels[k]
+    is the (N/2^k, 21) numpy limb array of that level (for auth paths).
+    """
+    import jax.numpy as jnp
+
+    from stark_perpetual_tpu.ops.field import stark_prime_field, unpack_ints
+
+    f = stark_prime_field()
+    fn = pedersen_hash_batch()
+    levels = [np.asarray(leaf_limbs)]
+    cur = jnp.asarray(leaf_limbs)
+    while cur.shape[0] > 128:
+        pairs = cur.reshape(cur.shape[0] // 2, 2, cur.shape[-1])
+        h, ok = fn(pairs[:, 0], pairs[:, 1])
+        cur = h
+        levels.append(np.asarray(h))
+    # Finish on host ints.
+    vals = [int(v) for v in unpack_ints(np.asarray(cur))]
+    while len(vals) > 1:
+        vals = pedersen_hash_ints(
+            [(vals[i], vals[i + 1]) for i in range(0, len(vals), 2)]
+        )
+        levels.append(np.asarray(f.pack(vals)))
+    return vals[0], levels
+
+
+def auth_path_from_levels(levels: list, index: int) -> List[int]:
+    """Sibling path for dense_commit_device levels."""
+    from stark_perpetual_tpu.ops.field import unpack_ints
+
+    path = []
+    for level in levels[:-1]:
+        sibling = level[index ^ 1]
+        path.append(int(unpack_ints(sibling[None, :])[0]))
+        index //= 2
+    return path
 
 
 @functools.lru_cache(maxsize=None)

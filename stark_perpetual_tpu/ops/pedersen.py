@@ -212,9 +212,20 @@ def _pad_batch(arr: np.ndarray, multiple: int = 64) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
+_NATIVE_CUTOVER = 1024  # below this, the native host lib beats device dispatch
+
+
 def pedersen_hash_ints(pairs: Sequence[Tuple[int, int]]) -> List[int]:
-    f = stark_prime_field()
     n = len(pairs)
+    if n == 0:
+        return []
+    if n < _NATIVE_CUTOVER:
+        from stark_perpetual_tpu.runtime import native
+
+        out = native.pedersen_hash_batch(pairs)
+        if out is not None:
+            return out
+    f = stark_prime_field()
     a = _pad_batch(f.pack([a for a, _ in pairs]))
     b = _pad_batch(f.pack([b for _, b in pairs]))
     h, ok = pedersen_hash_batch()(a, b)
