@@ -7,6 +7,7 @@ driver). Extra diagnostic metrics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -67,6 +68,9 @@ def main() -> int:
     hostsig.pedersen_hash(a0, b0)
     print(f"host single hash: {time.time() - t0:.4f}s; device: {rate:,.0f}/s", file=sys.stderr)
 
+    if os.environ.get("BENCH_FULL") == "1":
+        _bench_secondary()
+
     print(
         json.dumps(
             {
@@ -78,6 +82,62 @@ def main() -> int:
         )
     )
     return 0
+
+
+def _bench_secondary() -> None:
+    """BASELINE.json secondary configs (stderr only): batched ECDSA verify
+    (2^14) and 2^20-point NTT."""
+    import random
+
+    import numpy as np
+
+    from stark_perpetual_tpu.crypto import signature as hostsig
+    from stark_perpetual_tpu.ops.ecdsa import ecdsa_ops
+    from stark_perpetual_tpu.ops.field import pack_ints, stark_prime_field
+    from stark_perpetual_tpu.ops.ntt import ntt_ops
+
+    f = stark_prime_field()
+    rng = random.Random(0)
+
+    # --- ECDSA verify, one signature replicated to 2^14 lanes -------------
+    n = 1 << 14
+    priv = 0x2DCCCE1DA22003777062EE0870E9881B460A8B7ECA276870F57C601F182136C
+    msg = 0xC465DD6B1BBFFDB05442EB17F5CA38AD1AA78A6F56BF4415BDEE219114A47
+    r, s = hostsig.sign(msg, priv)
+    pub = hostsig.private_to_stark_key(priv)
+    y = hostsig.get_y_coordinate(pub)
+    if not hostsig.verify(msg, r, s, (pub, y)):
+        y = (-y) % hostsig.FIELD_PRIME
+    ops = ecdsa_ops()
+    args = [
+        jax.device_put(jnp.asarray(np.tile(pack_ints([v]), (n, 1))))
+        for v in (msg, r, s, pub, y)
+    ]
+    t0 = time.time()
+    valid, ok = ops.jit_verify(*args)
+    valid.block_until_ready()
+    print(f"ecdsa compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    assert bool(np.asarray(valid)[0]) and bool(np.asarray(ok).all())
+    t0 = time.time()
+    valid, ok = ops.jit_verify(*args)
+    valid.block_until_ready()
+    dt = time.time() - t0
+    print(f"ecdsa_verifies_per_sec: {n / dt:,.0f} (batch {n}, {dt*1e3:.1f} ms)", file=sys.stderr)
+
+    # --- NTT 2^20 ---------------------------------------------------------
+    m = 1 << 20
+    coeffs = np.random.default_rng(1).integers(0, 1 << 12, (m, 21)).astype(np.int32)
+    coeffs[:, 20] &= 0x7FF
+    x = jax.device_put(jnp.asarray(coeffs))
+    ntt = ntt_ops()
+    t0 = time.time()
+    out = ntt.ntt(x)
+    out.block_until_ready()
+    print(f"ntt 2^20 compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    out = ntt.ntt(x)
+    out.block_until_ready()
+    print(f"ntt_2e20_wall: {time.time() - t0:.3f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

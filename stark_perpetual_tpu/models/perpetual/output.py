@@ -246,6 +246,8 @@ class ProgramRunResult:
     program_output: List[int]
     availability_data: Optional[List[int]]
     pages: Optional[List[List[int]]]
+    final_positions: Dict[int, Position] = None
+    final_orders: Dict[int, int] = None
 
 
 def run_program(
@@ -301,4 +303,6 @@ def run_program(
         program_output=program_output,
         availability_data=availability,
         pages=pages,
+        final_positions=dict(state.positions),
+        final_orders=dict(state.orders),
     )
