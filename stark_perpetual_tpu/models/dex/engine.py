@@ -11,6 +11,7 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash
 from stark_perpetual_tpu.ops.merkle import SparseMerkleTree
+from stark_perpetual_tpu.ops.patricia import PatriciaTree
 from stark_perpetual_tpu.public import exchange_messages as EM
 
 # dex_constants.cairo
@@ -529,16 +530,15 @@ def vault_leaf_hash(vault: L2VaultState, hash_function=fast_pedersen_hash) -> in
 class DexStateTrees:
     """Validium + rollup vault trees and the orders tree.
 
-    The reference commits orders with `patricia_update`; we commit the same
-    (key, value) mapping with a sparse height-H Merkle tree over Pedersen —
-    the same soundness role with a different root encoding (documented
-    deviation; Patricia parity is planned).
+    Vault trees are dense-style sparse Merkle trees with the ZERO_VAULT_HASH
+    default; the orders tree is a Patricia tree (cairo-lang `patricia_update`
+    node encoding, empty root 0).
     """
 
     def __init__(self, config: DexGeneralConfig):
         self.validium = SparseMerkleTree(config.validium_tree_height, ZERO_VAULT_HASH)
         self.rollup = SparseMerkleTree(config.rollup_tree_height, ZERO_VAULT_HASH)
-        self.orders = SparseMerkleTree(config.orders_tree_height, 0)
+        self.orders = PatriciaTree(config.orders_tree_height)
 
     def load_vaults(self, vaults: Dict[int, L2VaultState]):
         val_updates, roll_updates = [], []

@@ -311,21 +311,33 @@ def verify_ints(
 
     if msgs:
         n = len(msgs)
-        # Pad with a self-consistent valid lane (signs nothing; just keeps
-        # padded lanes inside the reference's assertion ranges).
-        target = max(64, -(-n // 64) * 64)
-        while len(msgs) < target:
-            msgs.append(0)
-            rs.append(1)
-            ss.append(1)
-            xs.append(EC_GEN[0])
-            ys.append(EC_GEN[1])
-        valid, input_ok = ops.jit_verify(
-            pack_ints(msgs), pack_ints(rs), pack_ints(ss), pack_ints(xs), pack_ints(ys)
-        )
-        valid = np.asarray(valid)[:n]
-        input_ok = np.asarray(input_ok)[:n]
-        assert bool(np.all(input_ok)), "verify input assertion failed (see reference semantics)"
+        if _ped._use_pallas():
+            from stark_perpetual_tpu.ops.ecdsa_pallas import verify_batch_pallas
+
+            valid = np.asarray(
+                verify_batch_pallas(
+                    [
+                        (m, r, s, (x, y))
+                        for m, r, s, x, y in zip(msgs, rs, ss, xs, ys)
+                    ]
+                )
+            )
+        else:
+            # Pad with a self-consistent valid lane (signs nothing; just keeps
+            # padded lanes inside the reference's assertion ranges).
+            target = max(64, -(-n // 64) * 64)
+            while len(msgs) < target:
+                msgs.append(0)
+                rs.append(1)
+                ss.append(1)
+                xs.append(EC_GEN[0])
+                ys.append(EC_GEN[1])
+            valid, input_ok = ops.jit_verify(
+                pack_ints(msgs), pack_ints(rs), pack_ints(ss), pack_ints(xs), pack_ints(ys)
+            )
+            valid = np.asarray(valid)[:n]
+            input_ok = np.asarray(input_ok)[:n]
+            assert bool(np.all(input_ok)), "verify input assertion failed"
     results = []
     for idx in range(len(items)):
         if idx in x_invalid:

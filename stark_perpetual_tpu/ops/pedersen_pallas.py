@@ -275,8 +275,16 @@ class PallasMSM:
         """digits: (N, n_windows) int32 -> (JacPoint-rows as (N,21) arrays, bad)."""
         from stark_perpetual_tpu.ops.curve_ops import JacPoint
 
+        n = digits.shape[0]
+        # Mosaic needs full-width lane tiles: pad small batches up to one
+        # block (digit 0 = skip, so padded lanes are benign).
+        target = max(_LANE_BLOCK, -(-n // _LANE_BLOCK) * _LANE_BLOCK)
+        if target != n:
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((target - n, digits.shape[1]), digits.dtype)], axis=0
+            )
         out, poison = self._kernel(digits.swapaxes(0, 1), self.tab)
-        X = out[0:21].swapaxes(0, 1)
-        Y = out[21:42].swapaxes(0, 1)
-        Z = out[42:63].swapaxes(0, 1)
-        return JacPoint(X, Y, Z), poison[0].astype(bool)
+        X = out[0:21, :n].swapaxes(0, 1)
+        Y = out[21:42, :n].swapaxes(0, 1)
+        Z = out[42:63, :n].swapaxes(0, 1)
+        return JacPoint(X, Y, Z), poison[0, :n].astype(bool)

@@ -10,17 +10,23 @@ here — conftest runs before any test imports jax functions.
 import os
 import sys
 
+_TPU_MODE = os.environ.get("STARK_TPU_TESTS") == "1"
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not _TPU_MODE and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _TPU_MODE:
+    # Run against the real device (for tests/test_tpu_kernels.py).
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tpu")
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 # Persistent compilation cache: the limb kernels produce large XLA graphs and
 # recompiling them on every pytest run dominates wall time.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

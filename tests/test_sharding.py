@@ -14,6 +14,27 @@ from stark_perpetual_tpu.parallel.mesh import make_mesh
 from stark_perpetual_tpu.params import FIELD_PRIME
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_compile_cache():
+    # Serializing sharded executables into the persistent compilation cache
+    # segfaults in this jaxlib build; null the cache dir so these compiles
+    # never reach the serializer (the enable flag alone does not gate the
+    # write path here).
+    from jax._src import compilation_cache as _cc
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_enable_compilation_cache", False)
+    jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()  # drop the memoized is-cache-enabled decision
+    # Long sessions accumulate enough live executables that the multi-device
+    # compiles here can abort the XLA:CPU compiler (OOM); start clean.
+    jax.clear_caches()
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev_dir)
+    jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
+
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
