@@ -143,6 +143,24 @@ def _bench_secondary() -> None:
     out.block_until_ready()
     print(f"ntt_2e20_wall: {time.time() - t0:.3f}s", file=sys.stderr)
 
+    # --- STARK prover: pedersen-builtin AIR, 8 pooled hashes --------------
+    from stark_perpetual_tpu.crypto.signature import pedersen_hash as _ph
+    from stark_perpetual_tpu.models.air import StarkProver, verify_stark
+    from stark_perpetual_tpu.models.pedersen_air import PedersenBuiltinAir
+
+    pairs = [(rng.randrange(1 << 251), rng.randrange(1 << 251)) for _ in range(8)]
+    air = PedersenBuiltinAir(pairs, [_ph(a, b) for a, b in pairs])
+    trace = air.trace()
+    t0 = time.time()
+    proof = StarkProver(air, blowup=4, n_queries=16).prove(trace)
+    dt = time.time() - t0
+    assert verify_stark(air, proof)
+    print(
+        f"stark_prove_pedersen_air: {dt:.1f}s for 8 hashes "
+        f"(trace 4096 rows x 5 cols, incl. first-compile)",
+        file=sys.stderr,
+    )
+
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# CI driver: native build + full CPU test suite + multi-chip dry-run,
+# the same gates the reference's Dockerfile runs (bazel build/test + JS
+# tests, Dockerfile:1-26) adapted to this framework's layout.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== native library =="
+cmake -S . -B build -G Ninja >/dev/null
+cmake --build build >/dev/null
+test -f stark_perpetual_tpu/runtime/_starkcrypto.so
+
+echo "== unit + integration tests (8 virtual CPU devices) =="
+python -m pytest tests/ -q
+
+echo "== multi-chip sharding dry-run =="
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
+
+echo "CI green"

@@ -41,21 +41,31 @@ class Air:
     Subclasses define:
       n_columns: trace width.
       transition_degree: max algebraic degree of transition constraints.
-      eval_transitions(f, cur, nxt) -> list of (rows, 21) limb arrays, the
-        constraint values C_k(f(x), f(g x)) evaluated lane-wise (device).
-      transition_exprs_host(cur_vals, nxt_vals) -> list of ints: the same
-        constraints on scalar ints (used by the verifier at query points).
+      eval_transitions(f, cur, nxt, pub) -> list of (rows, 21) limb arrays,
+        the constraint values C_k(f(x), f(g x), p(x)) evaluated lane-wise
+        (device, Montgomery domain).
+      transition_exprs_host(cur_vals, nxt_vals, pub_vals) -> list of ints:
+        the same constraints on scalar ints (verifier, at query points).
+      public_columns() -> list of length-n int columns known to both sides
+        (e.g. the Pedersen constant-point tables). They are low-degree-
+        extended like trace columns but NOT committed: the verifier
+        evaluates their interpolants itself at each query point.
       boundary() -> list of (column, row, value) assertions.
     """
 
     n_columns: int = 1
     transition_degree: int = 1
 
-    def eval_transitions(self, f, cur, nxt) -> List[jnp.ndarray]:
+    def eval_transitions(self, f, cur, nxt, pub) -> List[jnp.ndarray]:
         raise NotImplementedError
 
-    def transition_exprs_host(self, cur_vals: List[int], nxt_vals: List[int]) -> List[int]:
+    def transition_exprs_host(
+        self, cur_vals: List[int], nxt_vals: List[int], pub_vals: List[int]
+    ) -> List[int]:
         raise NotImplementedError
+
+    def public_columns(self) -> List[List[int]]:
+        return []
 
     def boundary(self) -> List[Tuple[int, int, int]]:
         return []
@@ -109,11 +119,17 @@ class StarkProver:
         channel.absorb(trace_root)
 
         # 3. Constraint evaluation on the LDE domain (device, lane-wise).
+        # Public columns ride along uncommitted: the verifier re-evaluates
+        # their interpolants, so only the trace columns need Merkle openings.
+        pub_cols = air.public_columns()
+        pub_coeffs = [np.asarray(ntt.ntt(f.pack(list(col)), inverse=True)) for col in pub_cols]
+        pub_ldes = [np.asarray(ntt.lde(jnp.asarray(c), self.blowup, shift=FIELD_GEN)) for c in pub_coeffs]
         cur = [jnp.asarray(l) for l in ldes]
         nxt = [jnp.roll(jnp.asarray(l), -self.blowup, axis=0) for l in ldes]
         cur_m = [f.to_mont(c) for c in cur]
         nxt_m = [f.to_mont(c) for c in nxt]
-        constraint_vals = air.eval_transitions(f, cur_m, nxt_m)  # mont domain
+        pub_m = [f.to_mont(jnp.asarray(l)) for l in pub_ldes]
+        constraint_vals = air.eval_transitions(f, cur_m, nxt_m, pub_m)  # mont domain
 
         # 4. Quotients: transition constraints vanish on all rows but the
         # last: Z(x) = (x^n - 1) / (x - g_last).
@@ -215,8 +231,27 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
     channel = Channel()
     channel.absorb(proof.trace_root)
 
+    # Public columns: interpolate once (host coefficients), evaluate at each
+    # query point by Horner — they are not part of the commitment.
+    pub_cols = air.public_columns()
+    if pub_cols:
+        from stark_perpetual_tpu.ops.field import stark_prime_field
+
+        f = stark_prime_field()
+        ntt = ntt_ops()
+        pub_coeffs = [
+            [int(v) for v in unpack_ints(np.asarray(ntt.ntt(f.pack(list(col)), inverse=True)))]
+            for col in pub_cols
+        ]
+    else:
+        pub_coeffs = []
+
     # Re-derive alphas in prover order.
-    n_transitions = len(air.transition_exprs_host([0] * air.n_columns, [0] * air.n_columns))
+    n_transitions = len(
+        air.transition_exprs_host(
+            [0] * air.n_columns, [0] * air.n_columns, [0] * len(pub_cols)
+        )
+    )
     t_alphas = [channel.challenge() for _ in range(n_transitions)]
     boundary = air.boundary() if claimed_boundary is None else claimed_boundary
     b_alphas = [channel.challenge() for _ in boundary]
@@ -259,8 +294,9 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
             (x - g_last) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME
         ) % FIELD_PRIME
         inv_z = pow(zx, FIELD_PRIME - 2, FIELD_PRIME)
+        pub_q = [_horner(coeffs, x) for coeffs in pub_coeffs]
         comp = 0
-        for alpha, cval in zip(t_alphas, air.transition_exprs_host(vals_q, vals_qn)):
+        for alpha, cval in zip(t_alphas, air.transition_exprs_host(vals_q, vals_qn, pub_q)):
             comp = (comp + alpha * cval % FIELD_PRIME * inv_z) % FIELD_PRIME
         for alpha, (col, row, value) in zip(b_alphas, boundary):
             x_row = pow(w_n, row, FIELD_PRIME)
@@ -274,6 +310,14 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
         if observed != comp:
             return False
     return True
+
+
+def _horner(coeffs: List[int], x: int) -> int:
+    """Evaluate a coefficient-form polynomial at x (host, for public columns)."""
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % FIELD_PRIME
+    return acc
 
 
 def _fold_row(vals: List[int]) -> int:
@@ -297,12 +341,12 @@ class FibonacciAir(Air):
         self.final_b = final_b
         self.n_rows = n_rows
 
-    def eval_transitions(self, f, cur, nxt):
+    def eval_transitions(self, f, cur, nxt, pub):
         c0 = f.sub(nxt[0], cur[1])  # a' - b
         c1 = f.sub(nxt[1], f.add(cur[0], cur[1]))  # b' - (a + b)
         return [c0, c1]
 
-    def transition_exprs_host(self, cur_vals, nxt_vals):
+    def transition_exprs_host(self, cur_vals, nxt_vals, pub_vals=()):
         return [
             (nxt_vals[0] - cur_vals[1]) % FIELD_PRIME,
             (nxt_vals[1] - cur_vals[0] - cur_vals[1]) % FIELD_PRIME,

@@ -109,6 +109,8 @@ class CryptoPrepass:
         self.hash_function = hash_function
         self.messages: Dict[int, int] = {}
         self.sig_ok: Dict[int, bool] = {}
+        self.sig_items: List[Tuple[int, int, int, int]] = []
+        self.sig_results: List[bool] = []
 
     def prepare(self, program_input: "ProgramInput") -> None:
         items = []  # (key, msg, r, s, pub)
@@ -154,13 +156,18 @@ class CryptoPrepass:
                 )
 
         self.messages = {key: msg for key, msg, _r, _s, _pub in items}
+        # Retained for staged arithmetization (models/perpetual/prove.py):
+        # every signature obligation the batch consumed.
+        self.sig_items = [(msg, r, s, pub) for _k, msg, r, s, pub in items]
         if items:
             from stark_perpetual_tpu.ops.ecdsa import verify_ints
 
             results = verify_ints([(msg, r, s, pub) for _k, msg, r, s, pub in items])
             self.sig_ok = {key: ok for (key, *_rest), ok in zip(items, results)}
+            self.sig_results = [bool(ok) for ok in results]  # aligned with sig_items
         else:
             self.sig_ok = {}
+            self.sig_results = []
 
     def message(self, key) -> int:
         return self.messages[key]

@@ -31,3 +31,27 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def no_compile_cache():
+    """Disable the persistent compilation cache for a module.
+
+    Very large executables (multi-device shardings, the AIR prover's scan
+    graphs) can crash this jaxlib's cache serializer, and long sessions can
+    abort XLA:CPU compiles unless live executables are dropped first. Use
+    via ``pytestmark = pytest.mark.usefixtures("no_compile_cache")``.
+    """
+    from jax._src import compilation_cache as _cc
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_enable_compilation_cache", False)
+    jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()  # drop the memoized is-cache-enabled decision
+    jax.clear_caches()
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev_dir)
+    jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
