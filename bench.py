@@ -144,6 +144,12 @@ def _bench_secondary() -> None:
     print(f"ntt_2e20_wall: {time.time() - t0:.3f}s", file=sys.stderr)
 
     # --- STARK prover: pedersen-builtin AIR, 8 pooled hashes --------------
+    # Opt-in separately: the prover still dispatches many eager device ops,
+    # which cost seconds each through the remote-TPU tunnel (fusing the
+    # prover stages under jit is the planned fix). Run with JAX_PLATFORMS=cpu
+    # for a host-side prover timing.
+    if os.environ.get("BENCH_STARK") != "1":
+        return
     from stark_perpetual_tpu.crypto.signature import pedersen_hash as _ph
     from stark_perpetual_tpu.models.air import StarkProver, verify_stark
     from stark_perpetual_tpu.models.pedersen_air import PedersenBuiltinAir

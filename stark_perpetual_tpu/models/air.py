@@ -91,11 +91,81 @@ def _row_leaves(columns_lde: List[List[int]]) -> List[int]:
 
 
 class StarkProver:
-    def __init__(self, air: Air, blowup: int = 8, n_queries: int = 16):
+    def __init__(self, air: Air, blowup: int = 8, n_queries: int = 16, sharding=None):
+        """sharding: optional jax.sharding.NamedSharding whose spec shards
+        the LDE-row axis (e.g. NamedSharding(mesh, P(None, "dp", None))).
+        The composition program's inputs are committed to it, so XLA
+        partitions the whole constraint-eval/quotient stage across the
+        mesh (trace sharded by rows, SURVEY.md section 2.5)."""
         self.air = air
         self.blowup = blowup
         self.n_queries = n_queries
+        self.sharding = sharding
         self.f = stark_prime_field()
+        self._programs = {}
+
+    def _composition_program(self, n: int, big: int, n_pub: int, n_boundary: int):
+        """One jit-compiled program for constraint eval + quotients + boundary.
+
+        The whole composition stage runs as a single device program (vs.
+        hundreds of eager per-op dispatches, which dominate wall time on CPU
+        and are prohibitive through a remote-TPU tunnel). Boundary columns,
+        points and values are traced inputs, so the program is cached purely
+        by shape and reused across proofs of the same AIR geometry.
+        """
+        key = (n, big, n_pub, n_boundary)
+        if key in self._programs:
+            return self._programs[key]
+
+        import jax
+
+        f = self.f
+        air = self.air
+        blowup = self.blowup
+        g_last = pow(root_of_unity(n), n - 1, FIELD_PRIME)
+
+        @jax.jit
+        def run(cur_m, pub_m, t_alphas_m, b_cols, b_xrow_m, b_val_m, b_alphas_m):
+            nxt_m = jnp.roll(cur_m, -blowup, axis=1)
+            cvals = air.eval_transitions(f, list(cur_m), list(nxt_m), list(pub_m))
+
+            xs_n = _coset_power_table(f, big, FIELD_GEN, n)
+            one_m = jnp.broadcast_to(
+                jnp.asarray(f.pack((1 << 252) % FIELD_PRIME)), xs_n.shape
+            )
+            zden = f.sub(xs_n, one_m)  # x^n - 1
+            xs = _coset_power_table(f, big, FIELD_GEN, 1)
+            glast_m = jnp.broadcast_to(
+                jnp.asarray(f.pack((g_last << 252) % FIELD_PRIME)), xs.shape
+            )
+            # 1/Z = (x - g_last) / (x^n - 1)
+            inv_z = f.mont_mul(f.sub(xs, glast_m), f.batch_inv(zden, group=min(64, big)))
+
+            comp = jnp.zeros((big, N_LIMBS), dtype=jnp.int32)
+            for k, cval in enumerate(cvals):
+                alpha = jnp.broadcast_to(t_alphas_m[k], cval.shape)
+                comp = f.add(comp, f.mont_mul(alpha, f.mont_mul(cval, inv_z)))
+
+            if n_boundary:
+                sel = cur_m[b_cols]  # (n_b, big, L)
+                numer = f.sub(sel, jnp.broadcast_to(b_val_m[:, None, :], sel.shape))
+                denom = f.sub(
+                    jnp.broadcast_to(xs[None], sel.shape),
+                    jnp.broadcast_to(b_xrow_m[:, None, :], sel.shape),
+                )
+                inv_d = f.batch_inv(
+                    denom.reshape(n_boundary * big, N_LIMBS), group=min(64, big)
+                ).reshape(n_boundary, big, N_LIMBS)
+                terms = f.mont_mul(
+                    jnp.broadcast_to(b_alphas_m[:, None, :], sel.shape),
+                    f.mont_mul(numer, inv_d),
+                )
+                for i in range(n_boundary):
+                    comp = f.add(comp, terms[i])
+            return f.from_mont(comp)
+
+        self._programs[key] = run
+        return run
 
     def prove(self, trace_columns: Sequence[Sequence[int]]) -> StarkProof:
         f = self.f
@@ -105,9 +175,13 @@ class StarkProver:
         big = n * self.blowup
         ntt = ntt_ops()
 
-        # 1. Interpolate and low-degree-extend every column onto the coset.
-        coeffs = [np.asarray(ntt.ntt(f.pack(list(col)), inverse=True)) for col in trace_columns]
-        ldes = [np.asarray(ntt.lde(jnp.asarray(c), self.blowup, shift=FIELD_GEN)) for c in coeffs]
+        # 1. Interpolate and low-degree-extend every column onto the coset
+        # (columns stacked: one INTT dispatch + one LDE dispatch for the
+        # whole trace).
+        cols = jnp.asarray(np.stack([f.pack(list(col)) for col in trace_columns]))
+        coeffs = ntt.ntt(cols, inverse=True)
+        ldes_all = np.asarray(ntt.lde(coeffs, self.blowup, shift=FIELD_GEN))
+        ldes = [ldes_all[i] for i in range(len(trace_columns))]
         lde_ints = [[int(v) for v in unpack_ints(l)] for l in ldes]
 
         # 2. Commit the trace (row leaves over all columns).
@@ -118,60 +192,55 @@ class StarkProver:
         channel = Channel()
         channel.absorb(trace_root)
 
-        # 3. Constraint evaluation on the LDE domain (device, lane-wise).
+        # 3-5. Constraint evaluation, vanishing-quotient and boundary
+        # quotients as ONE jitted device program (cached by shape).
         # Public columns ride along uncommitted: the verifier re-evaluates
         # their interpolants, so only the trace columns need Merkle openings.
         pub_cols = air.public_columns()
-        pub_coeffs = [np.asarray(ntt.ntt(f.pack(list(col)), inverse=True)) for col in pub_cols]
-        pub_ldes = [np.asarray(ntt.lde(jnp.asarray(c), self.blowup, shift=FIELD_GEN)) for c in pub_coeffs]
-        cur = [jnp.asarray(l) for l in ldes]
-        nxt = [jnp.roll(jnp.asarray(l), -self.blowup, axis=0) for l in ldes]
-        cur_m = [f.to_mont(c) for c in cur]
-        nxt_m = [f.to_mont(c) for c in nxt]
-        pub_m = [f.to_mont(jnp.asarray(l)) for l in pub_ldes]
-        constraint_vals = air.eval_transitions(f, cur_m, nxt_m, pub_m)  # mont domain
+        cur_m = f.to_mont(jnp.asarray(ldes_all))
+        if pub_cols:
+            pcols = jnp.asarray(np.stack([f.pack(list(col)) for col in pub_cols]))
+            pub_ldes_all = ntt.lde(ntt.ntt(pcols, inverse=True), self.blowup, shift=FIELD_GEN)
+            pub_m = f.to_mont(pub_ldes_all)
+        else:
+            pub_m = jnp.zeros((0, big, N_LIMBS), dtype=jnp.int32)
 
-        # 4. Quotients: transition constraints vanish on all rows but the
-        # last: Z(x) = (x^n - 1) / (x - g_last).
-        xs_n = _coset_power_table(f, big, FIELD_GEN, n)  # x_i^n (mont)
-        one_m = jnp.broadcast_to(jnp.asarray(f.pack((1 << 252) % FIELD_PRIME)), xs_n.shape)
-        zden = f.sub(xs_n, one_m)  # x^n - 1
-        g_last = pow(root_of_unity(n), n - 1, FIELD_PRIME)
-        xs = _coset_power_table(f, big, FIELD_GEN, 1)
-        glast_m = jnp.broadcast_to(jnp.asarray(f.pack((g_last << 252) % FIELD_PRIME)), xs.shape)
-        x_minus_glast = f.sub(xs, glast_m)
-        # 1/Z = (x - g_last) / (x^n - 1)
-        inv_zden = f.batch_inv(zden, group=min(64, big))
-        inv_z = f.mont_mul(x_minus_glast, inv_zden)
+        # Challenge order (must match verify_stark): transition alphas first,
+        # then one alpha per boundary assertion.
+        n_transitions = len(
+            air.transition_exprs_host([0] * air.n_columns, [0] * air.n_columns, [0] * len(pub_cols))
+        )
+        t_alphas = [channel.challenge() for _ in range(n_transitions)]
+        boundary = air.boundary()
+        b_alphas = [channel.challenge() for _ in boundary]
 
-        alphas = [channel.challenge() for _ in constraint_vals]
-        comp = jnp.zeros((big, N_LIMBS), dtype=jnp.int32)
-        for alpha, cval in zip(alphas, constraint_vals):
-            alpha_m = jnp.broadcast_to(
-                jnp.asarray(f.pack((alpha << 252) % FIELD_PRIME)), cval.shape
-            )
-            comp = f.add(comp, f.mont_mul(alpha_m, f.mont_mul(cval, inv_z)))
+        def mont_pack(vals):
+            return jnp.asarray(np.stack([f.pack((v << 252) % FIELD_PRIME) for v in vals]))
 
-        # 5. Boundary quotients: (f(x) - v) / (x - x_row).
-        inv_x_minus = {}
-        for col, row, value in air.boundary():
-            alpha = channel.challenge()
-            x_row = FIELD_GEN * 0 + pow(root_of_unity(n), row, FIELD_PRIME)
-            if x_row not in inv_x_minus:
-                xrow_m = jnp.broadcast_to(
-                    jnp.asarray(f.pack((x_row << 252) % FIELD_PRIME)), xs.shape
-                )
-                inv_x_minus[x_row] = f.batch_inv(f.sub(xs, xrow_m), group=min(64, big))
-            v_m = jnp.broadcast_to(
-                jnp.asarray(f.pack((value << 252) % FIELD_PRIME)), xs.shape
-            )
-            alpha_m = jnp.broadcast_to(
-                jnp.asarray(f.pack((alpha << 252) % FIELD_PRIME)), xs.shape
-            )
-            numer = f.sub(cur_m[col], v_m)
-            comp = f.add(comp, f.mont_mul(alpha_m, f.mont_mul(numer, inv_x_minus[x_row])))
+        w_n = root_of_unity(n)
+        if boundary:
+            b_cols = jnp.asarray(np.array([c for c, _r, _v in boundary], dtype=np.int32))
+            b_xrow_m = mont_pack([pow(w_n, r, FIELD_PRIME) for _c, r, _v in boundary])
+            b_val_m = mont_pack([v for _c, _r, v in boundary])
+            b_alphas_m = mont_pack(b_alphas)
+        else:
+            b_cols = jnp.zeros((0,), dtype=jnp.int32)
+            b_xrow_m = b_val_m = b_alphas_m = jnp.zeros((0, N_LIMBS), dtype=jnp.int32)
+        t_alphas_m = (
+            mont_pack(t_alphas)
+            if t_alphas
+            else jnp.zeros((0, N_LIMBS), dtype=jnp.int32)
+        )
 
-        comp_std = f.from_mont(comp)
+        if self.sharding is not None:
+            import jax
+
+            cur_m = jax.device_put(cur_m, self.sharding)
+            if pub_m.shape[0]:
+                pub_m = jax.device_put(pub_m, self.sharding)
+
+        program = self._composition_program(n, big, len(pub_cols), len(boundary))
+        comp_std = program(cur_m, pub_m, t_alphas_m, b_cols, b_xrow_m, b_val_m, b_alphas_m)
         comp_ints = [int(v) for v in unpack_ints(np.asarray(comp_std))]
 
         # 6. FRI on the composition codeword, seeded by the running channel.

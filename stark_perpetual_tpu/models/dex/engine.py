@@ -595,9 +595,8 @@ class DexRunResult:
     roots: Dict[str, int]
 
 
-def _prevalidate_signatures(txs) -> Dict[int, bool]:
-    from stark_perpetual_tpu.ops.ecdsa import verify_ints
-
+def collect_signature_obligations(txs, hash_function=fast_pedersen_hash):
+    """(key, msg, r, s, pub) for every L2 signature the batch must verify."""
     items = []
     keys = []
     for tx in txs:
@@ -607,7 +606,7 @@ def _prevalidate_signatures(txs) -> Dict[int, bool]:
                     keys.append(id(order))
                     items.append(
                         (
-                            limit_order_message(order),
+                            limit_order_message(order, hash_function),
                             order.base.signature_r,
                             order.base.signature_s,
                             order.base.public_key,
@@ -617,12 +616,19 @@ def _prevalidate_signatures(txs) -> Dict[int, bool]:
             keys.append(id(tx))
             items.append(
                 (
-                    transfer_message(tx),
+                    transfer_message(tx, hash_function),
                     tx.base.signature_r,
                     tx.base.signature_s,
                     tx.base.public_key,
                 )
             )
+    return keys, items
+
+
+def _prevalidate_signatures(txs) -> Dict[int, bool]:
+    from stark_perpetual_tpu.ops.ecdsa import verify_ints
+
+    keys, items = collect_signature_obligations(txs)
     if not items:
         return {}
     results = verify_ints(items)

@@ -253,10 +253,16 @@ class ProgramRunResult:
 def run_program(
     program_input: ProgramInput,
     max_n_words_per_memory_page: int = 3072,
+    crypto=None,
 ) -> ProgramRunResult:
-    """The main() flow (main.cairo:41-195): execute, commit, serialize."""
+    """The main() flow (main.cairo:41-195): execute, commit, serialize.
+
+    crypto: an optional pre-prepared CryptoPrepass, so callers that already
+    batch-verified the signatures (e.g. the staged arithmetization in
+    prove.py) don't pay for a second device pass.
+    """
     config = program_input.general_config
-    state, outputs, _batch_config = execute_batch(program_input)
+    state, outputs, _batch_config = execute_batch(program_input, crypto)
 
     trees = PerpetualStateTrees(config.positions_tree_height, config.orders_tree_height)
     prev_positions_root = trees.load_positions(program_input.positions or {})

@@ -1,4 +1,4 @@
-"""Staged arithmetization: STARK proofs for a batch's crypto builtins.
+"""Staged arithmetization: STARK proofs for a perpetual batch's builtins.
 
 In the reference, a perpetual batch becomes one Cairo execution whose AIR
 is dominated by the builtins it invokes: the pedersen builtin for every
@@ -12,114 +12,112 @@ exactly those obligations for a batch run:
 - every signature verification, as mimic-ladder blocks in one
   ``EcdsaVerifyStark`` proof.
 
-The register-level trace of the surrounding business logic (dict squash,
-arithmetic) is the remaining arithmetization gap, documented in PARITY.md.
+``prove_batch_commitments`` extends the pool to the *full* run: the
+batch's state-tree updates (Merkle node hashes, position leaf hashes —
+the work of merkle_multi_update at state/state.cairo:155-173) are
+recorded through the global ``pedersen_call_log`` funnel and proven in
+the same pooled pedersen trace. The register-level trace of the
+remaining business logic (dict squash, arithmetic) is the documented
+round-2 gap in PARITY.md.
 """
 
-from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Tuple
 
-from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash, get_y_coordinate
-from stark_perpetual_tpu.models.air import StarkProof, StarkProver, verify_stark
-from stark_perpetual_tpu.models.ecdsa_air import EcdsaStarkProof, EcdsaVerifyStark
-from stark_perpetual_tpu.models.pedersen_air import PedersenBuiltinAir
+from stark_perpetual_tpu.models.builtin_prover import (
+    BatchBuiltinProofs,
+    RecordingHash,
+    prove_builtin_obligations,
+    resolve_public_key_point,
+    verify_batch_builtins,
+)
 from stark_perpetual_tpu.models.perpetual.engine import CryptoPrepass
-from stark_perpetual_tpu.params import FIELD_PRIME
+from stark_perpetual_tpu.ops.pedersen import pedersen_call_log
 
-
-class RecordingHash:
-    """Hash function that logs every 2-ary Pedersen call (the builtin log)."""
-
-    def __init__(self):
-        self.calls: List[Tuple[int, int, int]] = []  # (a, b, h)
-
-    def __call__(self, a: int, b: int) -> int:
-        h = fast_pedersen_hash(a, b)
-        self.calls.append((a, b, h))
-        return h
-
-
-@dataclass
-class BatchBuiltinProofs:
-    # Pedersen builtin: pooled (a, b) -> h claims + proof.
-    pedersen_pairs: List[Tuple[int, int]]
-    pedersen_outputs: List[int]
-    pedersen_proof: Optional[StarkProof]
-    # ECDSA builtin: (msg, r, s, (pub_x, pub_y)) claims + proof.
-    ecdsa_items: List[Tuple[int, int, int, Tuple[int, int]]]
-    ecdsa_proof: Optional[EcdsaStarkProof]
-
-
-def _resolve_public_key_point(msg: int, r: int, s: int, pub_x: int) -> Optional[Tuple[int, int]]:
-    """Find the y-parity under which the AIR-faithful chain accepts."""
-    from stark_perpetual_tpu.crypto.signature import verify
-
-    try:
-        y = get_y_coordinate(pub_x)
-    except Exception:
-        return None
-    for cand in ((pub_x, y), (pub_x, (-y) % FIELD_PRIME)):
-        try:
-            if verify(msg, r, s, cand):
-                return cand
-        except AssertionError:
-            continue
-    return None
+__all__ = [
+    "BatchBuiltinProofs",
+    "prove_batch_builtins",
+    "prove_batch_commitments",
+    "verify_batch_builtins",
+]
 
 
 def prove_batch_builtins(
     program_input, blowup: int = 8, n_queries: int = 16
 ) -> BatchBuiltinProofs:
     """Run the batch's crypto prepass under a recording hash and prove the
-    resulting builtin logs. Raises ValueError if a hash input lands in the
-    [2^251, p) completeness sliver (see pedersen_air docstring)."""
+    resulting builtin logs."""
     rec = RecordingHash()
     prepass = CryptoPrepass(hash_function=rec)
     prepass.prepare(program_input)
-
-    pairs = [(a, b) for a, b, _h in rec.calls]
-    outputs = [h for _a, _b, h in rec.calls]
-    pedersen_proof = None
-    if pairs:
-        while len(pairs) & (len(pairs) - 1):
-            pairs.append((0, 0))
-            outputs.append(fast_pedersen_hash(0, 0))
-        air = PedersenBuiltinAir(pairs, outputs)
-        pedersen_proof = StarkProver(air, blowup=blowup, n_queries=n_queries).prove(air.trace())
 
     items = []
     for (msg, r, s, pub), ok in zip(prepass.sig_items, prepass.sig_results):
         if not ok:
             continue  # invalid signatures take the error-code path, not the AIR
-        point = _resolve_public_key_point(msg, r, s, pub)
+        point = resolve_public_key_point(msg, r, s, pub)
         assert point is not None, "prepass accepted a signature the mimic rejects"
         items.append((msg, r, s, point))
-    ecdsa_proof = None
-    if items:
-        # Compiling the ECDSA prover's graphs with the pedersen prover's
-        # tracing caches still live makes XLA:CPU attempt a pathological
-        # (>100 GB) allocation in this jaxlib; dropping the caches between
-        # the two provers avoids it (and costs only a recompile).
-        import jax
 
-        jax.clear_caches()
-        ecdsa_proof = EcdsaVerifyStark(blowup=blowup, n_queries=n_queries).prove(items)
-
-    return BatchBuiltinProofs(
-        pedersen_pairs=pairs,
-        pedersen_outputs=outputs,
-        pedersen_proof=pedersen_proof,
-        ecdsa_items=items,
-        ecdsa_proof=ecdsa_proof,
-    )
+    return prove_builtin_obligations(rec.calls, items, blowup=blowup, n_queries=n_queries)
 
 
-def verify_batch_builtins(proofs: BatchBuiltinProofs) -> bool:
-    if proofs.pedersen_proof is not None:
-        air = PedersenBuiltinAir(proofs.pedersen_pairs, proofs.pedersen_outputs)
-        if not verify_stark(air, proofs.pedersen_proof):
-            return False
-    if proofs.ecdsa_proof is not None:
-        if not EcdsaVerifyStark().verify(proofs.ecdsa_items, proofs.ecdsa_proof):
-            return False
-    return True
+def _resolve_sig_items(prepass: CryptoPrepass):
+    items = []
+    for (msg, r, s, pub), ok in zip(prepass.sig_items, prepass.sig_results):
+        if not ok:
+            continue  # invalid signatures take the error-code path, not the AIR
+        point = resolve_public_key_point(msg, r, s, pub)
+        assert point is not None, "prepass accepted a signature the mimic rejects"
+        items.append((msg, r, s, point))
+    return items
+
+
+def prove_batch_commitments(
+    program_input,
+    blowup: int = 8,
+    n_queries: int = 16,
+    prove: bool = True,
+) -> Tuple["BatchBuiltinProofs", "object"]:
+    """Run the FULL batch program and prove every hash it consumed.
+
+    Unlike ``prove_batch_builtins`` (message hashes + signatures only),
+    this records the complete pedersen-builtin obligation set of
+    ``output.run_program`` — message chains, position-leaf hashes and
+    every Merkle/Patricia node hashed while updating the state trees —
+    via the global ``pedersen_call_log`` funnel, and pools all of it
+    into one ``PedersenBuiltinAir`` proof alongside the ecdsa proof.
+
+    Trace budget: a batch consuming H hashes yields a 512*next_pow2(H)-row
+    pedersen trace; production-height trees (32/64 levels) belong on the
+    TPU prover path. ``prove=False`` collects and sanity-checks the
+    obligation pool without building the STARK (used by tests and for
+    sizing).
+
+    Returns (proofs, run_result).
+    """
+    from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash
+    from stark_perpetual_tpu.models.perpetual import output as output_mod
+
+    rec = RecordingHash()
+    prepass = CryptoPrepass(hash_function=rec)
+    prepass.prepare(program_input)
+    with pedersen_call_log() as tree_calls:
+        result = output_mod.run_program(program_input, crypto=prepass)
+    items = _resolve_sig_items(prepass)
+
+    calls = rec.calls + tree_calls
+    if not prove:
+        for a, b, h in calls:
+            assert fast_pedersen_hash(a, b) == h
+        return (
+            BatchBuiltinProofs(
+                pedersen_pairs=[(a, b) for a, b, _ in calls],
+                pedersen_outputs=[h for _, _, h in calls],
+                pedersen_proof=None,
+                ecdsa_items=items,
+                ecdsa_proof=None,
+            ),
+            result,
+        )
+    proofs = prove_builtin_obligations(calls, items, blowup=blowup, n_queries=n_queries)
+    return proofs, result

@@ -17,6 +17,7 @@ Protocol (standard FRI over a multiplicative coset):
     checks query openings against the roots and recomputes every fold.
 """
 
+import functools
 from dataclasses import dataclass, field
 from typing import List, Sequence, Tuple
 
@@ -78,18 +79,58 @@ class FriProof:
 
 
 def _fold_layer(f, evals: jnp.ndarray, inv2x: jnp.ndarray, beta_mont: jnp.ndarray):
-    """One fold: evals (m, 21) std-domain -> (m/2, 21) std-domain."""
-    m = evals.shape[0]
-    em = f.to_mont(evals)
-    lo, hi = em[: m // 2], em[m // 2 :]  # f(x), f(-x)
-    even = f.mont_mul(f.add(lo, hi), _half_mont(f, (m // 2, N_LIMBS)))
-    odd = f.mont_mul(f.mont_mul(f.sub(lo, hi), inv2x), jnp.broadcast_to(beta_mont, lo.shape))
-    return f.from_mont(f.add(even, odd))
+    """One fold: evals (m, 21) std-domain -> (m/2, 21) std-domain.
+
+    Jitted per layer size (cached across layers and proofs): the fold body
+    is ~10 field passes that would otherwise each dispatch eagerly.
+    """
+    return _fold_program(evals.shape[0])(evals, inv2x, beta_mont)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_program(m: int):
+    import jax
+
+    f = stark_prime_field()
+
+    @jax.jit
+    def run(evals, inv2x, beta_mont):
+        em = f.to_mont(evals)
+        lo, hi = em[: m // 2], em[m // 2 :]  # f(x), f(-x)
+        even = f.mont_mul(f.add(lo, hi), _half_mont(f, (m // 2, N_LIMBS)))
+        odd = f.mont_mul(
+            f.mont_mul(f.sub(lo, hi), inv2x), jnp.broadcast_to(beta_mont, lo.shape)
+        )
+        return f.from_mont(f.add(even, odd))
+
+    return run
 
 
 def _half_mont(f, shape):
     inv2 = pow(2, FIELD_PRIME - 2, FIELD_PRIME)
     return jnp.broadcast_to(jnp.asarray(f.pack((inv2 << 252) % FIELD_PRIME)), shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _geom_program(m: int):
+    """Jitted geometric series base * ratio^i for i < m (Montgomery limbs).
+
+    One program per length, shared by every FRI layer of that size and by
+    successive proofs (ratio/base are traced inputs, not baked constants).
+    """
+    import jax
+
+    f = stark_prime_field()
+
+    @jax.jit
+    def run(ratio_m, base_m):
+        seq = jnp.broadcast_to(ratio_m, (m, N_LIMBS))
+        prefix = jax.lax.associative_scan(f.mont_mul, seq, axis=0)
+        one = jnp.asarray(f.pack((1 << 252) % FIELD_PRIME))[None]
+        powers = jnp.concatenate([one, prefix[:-1]], axis=0)
+        return f.mont_mul(jnp.broadcast_to(base_m, (m, N_LIMBS)), powers)
+
+    return run
 
 
 def _inv2x_table(f, size: int, offset: int) -> jnp.ndarray:
@@ -98,18 +139,14 @@ def _inv2x_table(f, size: int, offset: int) -> jnp.ndarray:
     1/(2 x_i) = inv(2*offset) * w^-i: a geometric series, built with a
     device prefix scan.
     """
-    import jax
-
     w = root_of_unity(size)
     w_inv = pow(w, size - 1, FIELD_PRIME)
     base = pow(2 * offset % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
     m = size // 2
-    w_inv_m = jnp.broadcast_to(jnp.asarray(f.pack((w_inv << 252) % FIELD_PRIME)), (m, N_LIMBS))
-    prefix = jax.lax.associative_scan(f.mont_mul, w_inv_m, axis=0)
-    one = jnp.asarray(f.pack((1 << 252) % FIELD_PRIME))[None]
-    powers = jnp.concatenate([one, prefix[:-1]], axis=0)  # w^-i mont
-    base_m = jnp.broadcast_to(jnp.asarray(f.pack((base << 252) % FIELD_PRIME)), (m, N_LIMBS))
-    return f.mont_mul(base_m, powers)
+    return _geom_program(m)(
+        jnp.asarray(f.pack((w_inv << 252) % FIELD_PRIME)),
+        jnp.asarray(f.pack((base << 252) % FIELD_PRIME)),
+    )
 
 
 def fri_commit(

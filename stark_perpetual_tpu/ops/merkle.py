@@ -29,20 +29,24 @@ def dense_commit_device(leaf_limbs) -> Tuple[int, list]:
     tree finishes on the host path. Returns (root, levels) where levels[k]
     is the (N/2^k, 21) numpy limb array of that level (for auth paths).
     """
+    import jax
     import jax.numpy as jnp
 
     from stark_perpetual_tpu.ops.field import stark_prime_field, unpack_ints
 
     f = stark_prime_field()
-    fn = pedersen_hash_batch()
     levels = [np.asarray(leaf_limbs)]
     cur = jnp.asarray(leaf_limbs)
-    while cur.shape[0] > 128:
-        pairs = cur.reshape(cur.shape[0] // 2, 2, cur.shape[-1])
-        h, ok = fn(pairs[:, 0], pairs[:, 1])
-        cur = h
-        levels.append(np.asarray(h))
-    # Finish on host ints.
+    if jax.default_backend() != "cpu":
+        fn = pedersen_hash_batch()
+        while cur.shape[0] > 128:
+            pairs = cur.reshape(cur.shape[0] // 2, 2, cur.shape[-1])
+            h, ok = fn(pairs[:, 0], pairs[:, 1])
+            cur = h
+            levels.append(np.asarray(h))
+    # Finish on host ints (on a CPU backend the whole tree hashes here:
+    # every level is a new shape, and one XLA compile per level dwarfs the
+    # native-library hashing time).
     vals = [int(v) for v in unpack_ints(np.asarray(cur))]
     while len(vals) > 1:
         vals = pedersen_hash_ints(

@@ -103,16 +103,18 @@ class NttOps:
         return jax.jit(impl)
 
     def ntt(self, x: jnp.ndarray, inverse: bool = False, mont: bool = False) -> jnp.ndarray:
-        """(n, 21) limb array -> NTT (or inverse). n must be a power of two."""
-        n = x.shape[0]
+        """(..., n, 21) limb array -> NTT (or inverse) over the trailing
+        transform axis; leading axes are batch. n must be a power of two."""
+        n = x.shape[-2]
         assert n & (n - 1) == 0
         return self._jit_for(n, inverse, "mont" if mont else "std")(x)
 
     def lde(self, coeffs: jnp.ndarray, blowup: int, shift: Optional[int] = None) -> jnp.ndarray:
         """Low-degree extension: evaluate the polynomial with `coeffs` on the
-        coset shift * <w> of size blowup * n. coeffs standard-domain limbs.
+        coset shift * <w> of size blowup * n. coeffs standard-domain limbs,
+        shape (..., n, 21) with leading batch axes.
         """
-        n = coeffs.shape[0]
+        n = coeffs.shape[-2]
         big = n * blowup
         assert big & (big - 1) == 0
         if shift is None:
@@ -125,9 +127,11 @@ class NttOps:
             acc = acc * shift % FIELD_PRIME
         scale_m = jnp.asarray(pack_ints(scales))
         f = self.f
-        cm = f.mont_mul(f.to_mont(coeffs), scale_m)
+        cm = f.to_mont(coeffs)
+        cm = f.mont_mul(cm, jnp.broadcast_to(scale_m, cm.shape))
         padded = jnp.concatenate(
-            [cm, jnp.zeros((big - n, N_LIMBS), dtype=jnp.int32)], axis=0
+            [cm, jnp.zeros(cm.shape[:-2] + (big - n, N_LIMBS), dtype=jnp.int32)],
+            axis=-2,
         )
         return f.from_mont(self._jit_for(big, False, "mont")(padded))
 

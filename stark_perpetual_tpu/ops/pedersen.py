@@ -214,12 +214,50 @@ def _pad_batch(arr: np.ndarray, multiple: int = 64) -> np.ndarray:
 
 _NATIVE_CUTOVER = 1024  # below this, the native host lib beats device dispatch
 
+# Active obligation logs (see pedersen_call_log). Every batched 2-ary hash
+# in the framework funnels through pedersen_hash_ints, so recording here
+# captures the complete pedersen-builtin obligation set of any computation:
+# Merkle/Patricia tree nodes, position leaves, message hash chains.
+_CALL_LOGS: List[List[Tuple[int, int, int]]] = []
+
+
+class pedersen_call_log:
+    """Context manager recording every (a, b, h) computed while active.
+
+    The log is the pedersen-builtin trace of the enclosed computation —
+    feed it to ``models.builtin_prover.prove_builtin_obligations`` to turn
+    the whole run's hash obligations into one pooled STARK proof (the
+    role of the pedersen builtin segment in the reference's AIR,
+    src/services/perpetual/cairo/main.cairo:1).
+    """
+
+    def __enter__(self) -> List[Tuple[int, int, int]]:
+        self.calls: List[Tuple[int, int, int]] = []
+        _CALL_LOGS.append(self.calls)
+        return self.calls
+
+    def __exit__(self, *exc) -> None:
+        _CALL_LOGS.remove(self.calls)
+
 
 def pedersen_hash_ints(pairs: Sequence[Tuple[int, int]]) -> List[int]:
     n = len(pairs)
     if n == 0:
         return []
-    if n < _NATIVE_CUTOVER:
+    if _CALL_LOGS:
+        out = _pedersen_hash_ints(pairs)
+        for log in _CALL_LOGS:
+            log.extend((a, b, h) for (a, b), h in zip(pairs, out))
+        return out
+    return _pedersen_hash_ints(pairs)
+
+
+def _pedersen_hash_ints(pairs: Sequence[Tuple[int, int]]) -> List[int]:
+    n = len(pairs)
+    # On a CPU backend the "device" path is eager XLA with a per-shape
+    # compile — the native host library wins at every size there; on TPU
+    # only small batches stay on the host.
+    if n < _NATIVE_CUTOVER or jax.default_backend() == "cpu":
         from stark_perpetual_tpu.runtime import native
 
         out = native.pedersen_hash_batch(pairs)

@@ -84,3 +84,16 @@ def test_distributed_ntt_matches_local(mesh):
 
     expected = np.asarray(NTT.ntt_ops().ntt(x))
     assert np.array_equal(got, expected)
+
+
+def test_sharded_stark_composition(mesh):
+    """The composition program partitions over LDE rows across the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from stark_perpetual_tpu.models.air import FibonacciAir, StarkProver, verify_stark
+
+    trace = FibonacciAir.trace(64)
+    air = FibonacciAir(final_b=trace[1][-1], n_rows=64)
+    shard = NamedSharding(mesh, PartitionSpec(None, "dp", None))
+    proof = StarkProver(air, blowup=4, n_queries=4, sharding=shard).prove(trace)
+    assert verify_stark(air, proof)
