@@ -56,6 +56,32 @@ class Air:
     n_columns: int = 1
     transition_degree: int = 1
 
+    # --- optional second (interaction) trace phase -------------------------
+    # Randomized arguments (memory permutations, lookups) need columns built
+    # AFTER the main trace is committed, from verifier randomness. The prover
+    # commits the main trace, draws `n_interaction_challenges` field elements
+    # from the channel, calls `build_interaction`, and commits the result in a
+    # second Merkle tree. Constraints then see the concatenated column list
+    # [main..., interaction...] plus the challenges.
+    n_interaction_columns: int = 0
+    n_interaction_challenges: int = 0
+
+    def build_interaction(
+        self, main_columns: Sequence[Sequence[int]], challenges: List[int]
+    ) -> List[List[int]]:
+        return []
+
+    def transition_divisors(self):
+        """Per-constraint divisor tags, or None for all-'trans'.
+
+        'trans': constraint holds on rows 0..n-2 (the usual state-transition
+          divisor (x^n - 1)/(x - g^{n-1}); the wraparound row is exempt).
+        'all': constraint holds on every row cyclically (divisor x^n - 1;
+          cur->nxt references wrap from the last row to row 0 — used by
+          grand-product columns so the running product closes the cycle).
+        """
+        return None
+
     def eval_transitions(self, f, cur, nxt, pub) -> List[jnp.ndarray]:
         raise NotImplementedError
 
@@ -63,6 +89,16 @@ class Air:
         self, cur_vals: List[int], nxt_vals: List[int], pub_vals: List[int]
     ) -> List[int]:
         raise NotImplementedError
+
+    # Challenge-aware variants (the framework always calls these; AIRs
+    # without an interaction phase just inherit the delegation).
+    def eval_transitions_chal(self, f, cur, nxt, pub, chal) -> List[jnp.ndarray]:
+        return self.eval_transitions(f, cur, nxt, pub)
+
+    def transition_exprs_host_chal(
+        self, cur_vals, nxt_vals, pub_vals, chal_vals
+    ) -> List[int]:
+        return self.transition_exprs_host(cur_vals, nxt_vals, pub_vals)
 
     def public_columns(self) -> List[List[int]]:
         return []
@@ -79,6 +115,9 @@ class StarkProof:
     fri: FriProof
     # per query: (openings at q, openings at q_next, paths at q, paths at q_next)
     trace_openings: List[Tuple[List[int], List[int], List[int], List[int]]]
+    # interaction phase (zero/empty when the AIR has no interaction columns)
+    inter_root: int = 0
+    inter_openings: List[Tuple[List[int], List[int], List[int], List[int]]] = None
 
 
 def _row_leaves(columns_lde: List[List[int]]) -> List[int]:
@@ -104,16 +143,19 @@ class StarkProver:
         self.f = stark_prime_field()
         self._programs = {}
 
-    def _composition_program(self, n: int, big: int, n_pub: int, n_boundary: int):
+    def _composition_program(
+        self, n: int, big: int, n_pub: int, n_boundary: int, n_chal: int = 0
+    ):
         """One jit-compiled program for constraint eval + quotients + boundary.
 
         The whole composition stage runs as a single device program (vs.
         hundreds of eager per-op dispatches, which dominate wall time on CPU
         and are prohibitive through a remote-TPU tunnel). Boundary columns,
-        points and values are traced inputs, so the program is cached purely
-        by shape and reused across proofs of the same AIR geometry.
+        points, values and interaction challenges are traced inputs, so the
+        program is cached purely by shape and reused across proofs of the
+        same AIR geometry.
         """
-        key = (n, big, n_pub, n_boundary)
+        key = (n, big, n_pub, n_boundary, n_chal)
         if key in self._programs:
             return self._programs[key]
 
@@ -123,11 +165,14 @@ class StarkProver:
         air = self.air
         blowup = self.blowup
         g_last = pow(root_of_unity(n), n - 1, FIELD_PRIME)
+        divisors = air.transition_divisors()
 
         @jax.jit
-        def run(cur_m, pub_m, t_alphas_m, b_cols, b_xrow_m, b_val_m, b_alphas_m):
+        def run(cur_m, pub_m, chal_m, t_alphas_m, b_cols, b_xrow_m, b_val_m, b_alphas_m):
             nxt_m = jnp.roll(cur_m, -blowup, axis=1)
-            cvals = air.eval_transitions(f, list(cur_m), list(nxt_m), list(pub_m))
+            cvals = air.eval_transitions_chal(
+                f, list(cur_m), list(nxt_m), list(pub_m), list(chal_m)
+            )
 
             xs_n = _coset_power_table(f, big, FIELD_GEN, n)
             one_m = jnp.broadcast_to(
@@ -138,13 +183,16 @@ class StarkProver:
             glast_m = jnp.broadcast_to(
                 jnp.asarray(f.pack((g_last << 252) % FIELD_PRIME)), xs.shape
             )
-            # 1/Z = (x - g_last) / (x^n - 1)
-            inv_z = f.mont_mul(f.sub(xs, glast_m), f.batch_inv(zden, group=min(64, big)))
+            # 1/(x^n - 1): the cyclic ('all') divisor.
+            inv_z_all = f.batch_inv(zden, group=min(64, big))
+            # 1/Z = (x - g_last) / (x^n - 1): the transition divisor.
+            inv_z = f.mont_mul(f.sub(xs, glast_m), inv_z_all)
 
             comp = jnp.zeros((big, N_LIMBS), dtype=jnp.int32)
             for k, cval in enumerate(cvals):
                 alpha = jnp.broadcast_to(t_alphas_m[k], cval.shape)
-                comp = f.add(comp, f.mont_mul(alpha, f.mont_mul(cval, inv_z)))
+                div = inv_z if divisors is None or divisors[k] == "trans" else inv_z_all
+                comp = f.add(comp, f.mont_mul(alpha, f.mont_mul(cval, div)))
 
             if n_boundary:
                 sel = cur_m[b_cols]  # (n_b, big, L)
@@ -192,6 +240,30 @@ class StarkProver:
         channel = Channel()
         channel.absorb(trace_root)
 
+        # 2b. Interaction phase: draw randomness, build + commit the second
+        # trace (grand-product/permutation columns).
+        challenges = [channel.challenge() for _ in range(air.n_interaction_challenges)]
+        inter_lde_ints: List[List[int]] = []
+        inter_levels = None
+        inter_root = 0
+        if air.n_interaction_columns:
+            inter_cols = air.build_interaction(trace_columns, challenges)
+            assert len(inter_cols) == air.n_interaction_columns
+            icols = jnp.asarray(np.stack([f.pack(list(col)) for col in inter_cols]))
+            inter_ldes_all = np.asarray(
+                ntt.lde(ntt.ntt(icols, inverse=True), self.blowup, shift=FIELD_GEN)
+            )
+            inter_lde_ints = [
+                [int(v) for v in unpack_ints(inter_ldes_all[i])]
+                for i in range(len(inter_cols))
+            ]
+            inter_root, inter_levels = dense_commit_device(
+                f.pack(_row_leaves(inter_lde_ints))
+            )
+            channel.absorb(inter_root)
+            ldes_all = np.concatenate([ldes_all, inter_ldes_all], axis=0)
+            lde_ints = lde_ints + inter_lde_ints
+
         # 3-5. Constraint evaluation, vanishing-quotient and boundary
         # quotients as ONE jitted device program (cached by shape).
         # Public columns ride along uncommitted: the verifier re-evaluates
@@ -207,8 +279,11 @@ class StarkProver:
 
         # Challenge order (must match verify_stark): transition alphas first,
         # then one alpha per boundary assertion.
+        n_total_cols = air.n_columns + air.n_interaction_columns
         n_transitions = len(
-            air.transition_exprs_host([0] * air.n_columns, [0] * air.n_columns, [0] * len(pub_cols))
+            air.transition_exprs_host_chal(
+                [0] * n_total_cols, [0] * n_total_cols, [0] * len(pub_cols), [1] * len(challenges)
+            )
         )
         t_alphas = [channel.challenge() for _ in range(n_transitions)]
         boundary = air.boundary()
@@ -231,6 +306,11 @@ class StarkProver:
             if t_alphas
             else jnp.zeros((0, N_LIMBS), dtype=jnp.int32)
         )
+        chal_m = (
+            mont_pack(challenges)
+            if challenges
+            else jnp.zeros((0, N_LIMBS), dtype=jnp.int32)
+        )
 
         if self.sharding is not None:
             import jax
@@ -239,8 +319,12 @@ class StarkProver:
             if pub_m.shape[0]:
                 pub_m = jax.device_put(pub_m, self.sharding)
 
-        program = self._composition_program(n, big, len(pub_cols), len(boundary))
-        comp_std = program(cur_m, pub_m, t_alphas_m, b_cols, b_xrow_m, b_val_m, b_alphas_m)
+        program = self._composition_program(
+            n, big, len(pub_cols), len(boundary), len(challenges)
+        )
+        comp_std = program(
+            cur_m, pub_m, chal_m, t_alphas_m, b_cols, b_xrow_m, b_val_m, b_alphas_m
+        )
         comp_ints = [int(v) for v in unpack_ints(np.asarray(comp_std))]
 
         # 6. FRI on the composition codeword, seeded by the running channel.
@@ -252,9 +336,11 @@ class StarkProver:
             channel_seed=channel.state,
         )
 
-        # 7. Open the trace at the FRI query points (and their next-row
-        # counterparts) so the verifier can recompute the composition.
+        # 7. Open both trace trees at the FRI query points (and their
+        # next-row counterparts) so the verifier can recompute the
+        # composition.
         openings = []
+        inter_openings = [] if air.n_interaction_columns else None
         for q in fri_proof.indices:
             q_next = (q + self.blowup) % big
             vals_q = [lde_ints[c][q] for c in range(air.n_columns)]
@@ -267,6 +353,22 @@ class StarkProver:
                     auth_path_from_levels(trace_levels, q_next),
                 )
             )
+            if air.n_interaction_columns:
+                ivals_q = [
+                    inter_lde_ints[c][q] for c in range(air.n_interaction_columns)
+                ]
+                ivals_qn = [
+                    inter_lde_ints[c][q_next]
+                    for c in range(air.n_interaction_columns)
+                ]
+                inter_openings.append(
+                    (
+                        ivals_q,
+                        ivals_qn,
+                        auth_path_from_levels(inter_levels, q),
+                        auth_path_from_levels(inter_levels, q_next),
+                    )
+                )
 
         return StarkProof(
             trace_root=trace_root,
@@ -274,6 +376,8 @@ class StarkProver:
             blowup=self.blowup,
             fri=fri_proof,
             trace_openings=openings,
+            inter_root=inter_root,
+            inter_openings=inter_openings,
         )
 
 
@@ -299,6 +403,13 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
     big = n * proof.blowup
     channel = Channel()
     channel.absorb(proof.trace_root)
+    challenges = [channel.challenge() for _ in range(air.n_interaction_challenges)]
+    if air.n_interaction_columns:
+        if proof.inter_openings is None or len(proof.inter_openings) != len(
+            proof.trace_openings
+        ):
+            return False
+        channel.absorb(proof.inter_root)
 
     # Public columns: interpolate once (host coefficients), evaluate at each
     # query point by Horner — they are not part of the commitment.
@@ -316,9 +427,10 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
         pub_coeffs = []
 
     # Re-derive alphas in prover order.
+    n_total_cols = air.n_columns + air.n_interaction_columns
     n_transitions = len(
-        air.transition_exprs_host(
-            [0] * air.n_columns, [0] * air.n_columns, [0] * len(pub_cols)
+        air.transition_exprs_host_chal(
+            [0] * n_total_cols, [0] * n_total_cols, [0] * len(pub_cols), [1] * len(challenges)
         )
     )
     t_alphas = [channel.challenge() for _ in range(n_transitions)]
@@ -347,8 +459,9 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
     w_big = root_of_unity(big)
     w_n = root_of_unity(n)
     g_last = pow(w_n, n - 1, FIELD_PRIME)
-    for q, (vals_q, vals_qn, path_q, path_qn), per_layer in zip(
-        indices, proof.trace_openings, proof.fri.queries
+    divisors = air.transition_divisors()
+    for qi, (q, (vals_q, vals_qn, path_q, path_qn), per_layer) in enumerate(
+        zip(indices, proof.trace_openings, proof.fri.queries)
     ):
         q_next = (q + proof.blowup) % big
         leaf_q = _fold_row(vals_q)
@@ -357,16 +470,27 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
             return False
         if not verify_path(leaf_qn, q_next, path_qn, proof.trace_root):
             return False
+        if air.n_interaction_columns:
+            ivals_q, ivals_qn, ipath_q, ipath_qn = proof.inter_openings[qi]
+            if not verify_path(_fold_row(ivals_q), q, ipath_q, proof.inter_root):
+                return False
+            if not verify_path(
+                _fold_row(ivals_qn), q_next, ipath_qn, proof.inter_root
+            ):
+                return False
+            vals_q = list(vals_q) + list(ivals_q)
+            vals_qn = list(vals_qn) + list(ivals_qn)
 
         x = FIELD_GEN * pow(w_big, q, FIELD_PRIME) % FIELD_PRIME
-        zx = (pow(x, n, FIELD_PRIME) - 1) * pow(
-            (x - g_last) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME
-        ) % FIELD_PRIME
-        inv_z = pow(zx, FIELD_PRIME - 2, FIELD_PRIME)
+        inv_z_all = pow((pow(x, n, FIELD_PRIME) - 1) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
+        inv_z = (x - g_last) % FIELD_PRIME * inv_z_all % FIELD_PRIME
         pub_q = [_horner(coeffs, x) for coeffs in pub_coeffs]
         comp = 0
-        for alpha, cval in zip(t_alphas, air.transition_exprs_host(vals_q, vals_qn, pub_q)):
-            comp = (comp + alpha * cval % FIELD_PRIME * inv_z) % FIELD_PRIME
+        for k, (alpha, cval) in enumerate(
+            zip(t_alphas, air.transition_exprs_host_chal(vals_q, vals_qn, pub_q, challenges))
+        ):
+            div = inv_z if divisors is None or divisors[k] == "trans" else inv_z_all
+            comp = (comp + alpha * cval % FIELD_PRIME * div) % FIELD_PRIME
         for alpha, (col, row, value) in zip(b_alphas, boundary):
             x_row = pow(w_n, row, FIELD_PRIME)
             inv = pow((x - x_row) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
