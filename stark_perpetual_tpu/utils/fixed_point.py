@@ -1,105 +1,103 @@
-"""Binary fixed-point rationals (parity: /root/reference/src/starkware/python/fixed_point.py:4-121).
+"""Exact binary fixed-point values (the engine's independent math oracle).
 
-FixedPoint(75, 4) represents 75 / 2^4. Arithmetic keeps exact integer
-representations (no reduction); comparisons align precisions. The perpetual
-engine uses 32.32 ("FXP_32_ONE = 2^32") quantities for funding and risk.
+The perpetual engine performs all funding/valuation arithmetic directly on
+scaled integers (models/perpetual/position.py), mirroring the Cairo
+constraints (funding at
+/root/reference/src/services/perpetual/cairo/position/funding.cairo:31-127,
+TV/TR at position/status.cairo:24-152, both in 32.32 / 96.32 fixed point).
+This module is an exact-arithmetic oracle for those code paths: a
+Fraction-backed fixed-point type used by the engine property tests to
+cross-check scaling and round-toward-minus-infinity behavior.
 """
 
 from fractions import Fraction
 
+FXP_32_BITS = 32  # the engine's funding-index precision (FXP_32_ONE = 2**32)
+
 
 class FixedPoint:
+    """An exact value ``rep / 2**precision_bits``.
+
+    Arithmetic is exact: addition/subtraction align precisions, and
+    multiplication adds them; nothing rounds until ``floor()`` /
+    ``with_precision()`` is called, so the oracle exposes exactly one
+    rounding site to compare against the engine's ``signed_div_rem``.
+    """
+
+    __slots__ = ("rep", "precision_bits")
+
     def __init__(self, rep: int, precision_bits: int):
-        assert isinstance(rep, int), "rep must be of type int."
-        assert isinstance(precision_bits, int), "precision_bits must be of type int."
-        assert precision_bits >= 0, "precision_bits cannot be negative."
-        self._rep = rep
+        assert precision_bits >= 0
+        self.rep = rep
         self.precision_bits = precision_bits
 
-    def rep_with(self, precision_bits: int) -> int:
-        assert self.precision_bits == precision_bits, (
-            f"Precision verification failed: got {precision_bits}, "
-            f"expected {self.precision_bits}."
-        )
-        return self._rep
+    @classmethod
+    def from_int(cls, value: int, precision_bits: int = FXP_32_BITS) -> "FixedPoint":
+        return cls(value << precision_bits, precision_bits)
 
-    def extend(self, n: int) -> "FixedPoint":
-        assert n >= 0, f"Cannot extend by a negative factor: got {n}."
-        return FixedPoint(rep=self._rep << n, precision_bits=self.precision_bits + n)
+    def as_fraction(self) -> Fraction:
+        return Fraction(self.rep, 1 << self.precision_bits)
 
-    def reduce(self, n: int) -> "FixedPoint":
-        assert self.precision_bits >= n, f"Cannot reduce to a negative precision: got {n}."
-        return FixedPoint(rep=self._rep >> n, precision_bits=self.precision_bits - n)
+    def floor(self) -> int:
+        """Round toward minus infinity (the engine's signed_div_rem rule)."""
+        return self.rep >> self.precision_bits
 
-    def __add__(self, other):
+    def to_float(self) -> float:
+        return self.rep / (1 << self.precision_bits)
+
+    def with_precision(self, bits: int) -> "FixedPoint":
+        """Re-scale; shrinking precision floors (round toward -inf)."""
+        if bits >= self.precision_bits:
+            return FixedPoint(self.rep << (bits - self.precision_bits), bits)
+        return FixedPoint(self.rep >> (self.precision_bits - bits), bits)
+
+    # -- exact arithmetic ---------------------------------------------------
+
+    def _aligned(self, other: "FixedPoint"):
         if isinstance(other, int):
-            return FixedPoint(
-                rep=self._rep + (other << self.precision_bits),
-                precision_bits=self.precision_bits,
-            )
-        if not isinstance(other, FixedPoint):
-            return NotImplemented
-        if self.precision_bits < other.precision_bits:
-            return other + self
-        return FixedPoint(
-            rep=self._rep + other.extend(self.precision_bits - other.precision_bits)._rep,
-            precision_bits=self.precision_bits,
-        )
+            other = FixedPoint.from_int(other, self.precision_bits)
+        bits = max(self.precision_bits, other.precision_bits)
+        return self.with_precision(bits), other.with_precision(bits), bits
+
+    def __add__(self, other) -> "FixedPoint":
+        a, b, bits = self._aligned(other)
+        return FixedPoint(a.rep + b.rep, bits)
 
     __radd__ = __add__
 
-    def __sub__(self, other):
-        return self + (-other)
+    def __sub__(self, other) -> "FixedPoint":
+        a, b, bits = self._aligned(other)
+        return FixedPoint(a.rep - b.rep, bits)
 
-    def __rsub__(self, other):
-        return (-self) + other
-
-    def __mul__(self, other):
+    def __mul__(self, other) -> "FixedPoint":
         if isinstance(other, int):
-            return FixedPoint(rep=self._rep * other, precision_bits=self.precision_bits)
-        if not isinstance(other, FixedPoint):
-            return NotImplemented
-        return FixedPoint(
-            rep=self._rep * other._rep,
-            precision_bits=self.precision_bits + other.precision_bits,
-        )
+            return FixedPoint(self.rep * other, self.precision_bits)
+        return FixedPoint(self.rep * other.rep, self.precision_bits + other.precision_bits)
 
     __rmul__ = __mul__
 
-    def __neg__(self):
-        return self * -1
+    def __neg__(self) -> "FixedPoint":
+        return FixedPoint(-self.rep, self.precision_bits)
 
-    def __abs__(self):
-        return FixedPoint(rep=abs(self._rep), precision_bits=self.precision_bits)
+    # -- comparisons (value-based, precision-agnostic) ----------------------
 
-    def __eq__(self, other):
-        return (self - other)._rep == 0
+    def __eq__(self, other) -> bool:
+        return isinstance(other, FixedPoint) and self.as_fraction() == other.as_fraction()
 
-    def __ne__(self, other):
-        return not self == other
+    def __lt__(self, other) -> bool:
+        return self.as_fraction() < other.as_fraction()
 
-    def __lt__(self, other):
-        return (self - other)._rep < 0
+    def __le__(self, other) -> bool:
+        return self.as_fraction() <= other.as_fraction()
 
-    def __le__(self, other):
-        return (self - other)._rep <= 0
+    def __gt__(self, other) -> bool:
+        return self.as_fraction() > other.as_fraction()
 
-    def __gt__(self, other):
-        return not self <= other
+    def __ge__(self, other) -> bool:
+        return self.as_fraction() >= other.as_fraction()
 
-    def __ge__(self, other):
-        return not self < other
+    def __hash__(self):
+        return hash(self.as_fraction())
 
-    def to_int(self) -> int:
-        return self._rep >> self.precision_bits  # rounds down
-
-    def to_float(self) -> float:
-        return self._rep / (1 << self.precision_bits)
-
-    def to_rational(self) -> Fraction:
-        return Fraction(self._rep, 1 << self.precision_bits)
-
-    def __str__(self):
-        return f"{self._rep}/2**{self.precision_bits}"
-
-    __repr__ = __str__
+    def __repr__(self):
+        return f"FixedPoint({self.rep}, {self.precision_bits})"

@@ -35,6 +35,14 @@ sys.path.insert(0, os.path.dirname(__file__))
 import pytest  # noqa: E402
 
 
+@pytest.fixture
+def rng(request):
+    """Seeded random.Random for @random_test (stark_perpetual_tpu.utils.testing)."""
+    import random
+
+    return random.Random(request.param)
+
+
 @pytest.fixture(scope="module")
 def no_compile_cache():
     """Disable the persistent compilation cache for a module.

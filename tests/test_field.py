@@ -104,3 +104,21 @@ def test_batch_shapes(fld):
     got = fld.unpack(out).reshape(-1)
     for v, g in zip(a_vals, got):
         assert int(g) == 2 * v % fld.modulus
+
+
+from stark_perpetual_tpu.utils.testing import random_test
+
+
+@random_test(seed=7)
+def test_field_algebra_property(fld, rng):
+    """Randomized algebraic identities: (a*b)*inv(b) == a, a+b-b == a."""
+    n = 32
+    a_vals = [rng.randrange(fld.modulus) for _ in range(n)]
+    b_vals = [rng.randrange(1, fld.modulus) for _ in range(n)]
+    a, b = fld.pack(a_vals), fld.pack(b_vals)
+    am, bm = fld.to_mont(a), fld.to_mont(b)
+    prod = fld.mont_mul(am, bm)
+    back = fld.unpack(fld.from_mont(fld.mont_mul(prod, fld.jit_inv(bm))))
+    assert [int(v) for v in back] == a_vals
+    got = fld.unpack(fld.jit_sub(fld.jit_add(a, b), b))
+    assert [int(v) for v in got] == a_vals

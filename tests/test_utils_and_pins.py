@@ -2,23 +2,11 @@
 
 import json
 import os
-import random
 
 import pytest
 
-from stark_perpetual_tpu.utils.expression_string import ExpressionString
 from stark_perpetual_tpu.utils.fixed_point import FixedPoint
-from stark_perpetual_tpu.utils.json_rpc import JsonRpcEncoder
-from stark_perpetual_tpu.utils.misc import (
-    add_counters,
-    assert_same_and_get,
-    blockify,
-    camel_to_snake_case,
-    snake_to_camel_case,
-    unique,
-)
-from stark_perpetual_tpu.utils.random_test_utils import parametrize_random_object, random_test
-from stark_perpetual_tpu.utils.test_utils import maybe_raises
+from stark_perpetual_tpu.utils.testing import maybe_raises, random_test
 
 
 def test_program_pins_regression():
@@ -45,64 +33,78 @@ def test_zero_vault_hash_constant():
     assert pedersen_hash(pedersen_hash(0, 0), 0) == ZERO_VAULT_HASH
 
 
-def test_fixed_point():
+def test_fixed_point_arithmetic():
     x = FixedPoint(75, 4)  # 4.6875
-    assert x.to_int() == 4
+    assert x.floor() == 4
     assert abs(x.to_float() - 4.6875) < 1e-12
-    y = x + 1
-    assert y.rep_with(4) == 75 + 16
-    z = x * FixedPoint(2, 1)
-    assert z.precision_bits == 5
-    assert x < y and y > x and x == FixedPoint(150, 5)
-    assert (-x)._rep == -75
-    assert x.extend(2).reduce(2) == x
+    assert (x + 1).rep == 75 + 16
+    z = x * FixedPoint(2, 1)  # 4.6875 * 1.0
+    assert z.precision_bits == 5 and z == x
+    assert x < x + 1 and x == FixedPoint(150, 5)
+    assert (-FixedPoint(7, 4)).floor() == -1  # floor, not truncation
+    assert x.with_precision(6).with_precision(4).rep == x.rep
 
 
-def test_expression_string():
-    a = ExpressionString.highest("a")
-    b = ExpressionString.highest("b")
-    c = ExpressionString.highest("c")
-    d = ExpressionString.highest("d")
-    e = ExpressionString.highest("e")
-    assert str((a + b) * (c * (d + e))) == "(a + b) * c * (d + e)"
-    assert str(a - (b + c)) == "a - (b + c)"
-    assert str((a + b) ** c) == "(a + b)^c"
-    assert str(-(a + b)) == "-(a + b)"
+@random_test(seed=2024)
+def test_funding_application_matches_fixed_point_oracle(rng):
+    """position_apply_funding's integer math == the exact FixedPoint oracle.
+
+    The engine computes collateral' = floor(collateral - sum(dIdx * balance)
+    / 2^32) on raw scaled ints (funding.cairo:31-127 semantics); the oracle
+    recomputes it in exact fixed-point arithmetic with one floor at the end.
+    """
+    from stark_perpetual_tpu.models.perpetual.objects import (
+        FundingIndex,
+        FundingIndicesInfo,
+        Position,
+        PositionAsset,
+    )
+    from stark_perpetual_tpu.models.perpetual.position import position_apply_funding
+
+    for _ in range(25):
+        n_assets = rng.randrange(0, 5)
+        asset_ids = sorted(rng.sample(range(1, 100), n_assets))
+        assets = tuple(
+            PositionAsset(
+                asset_id=aid,
+                balance=rng.randrange(-(1 << 40), 1 << 40) or 1,
+                cached_funding_index=rng.randrange(-(1 << 45), 1 << 45),
+            )
+            for aid in asset_ids
+        )
+        indices = FundingIndicesInfo(
+            funding_indices=tuple(
+                FundingIndex(asset_id=aid, funding_index=rng.randrange(-(1 << 45), 1 << 45))
+                for aid in asset_ids
+            ),
+            funding_timestamp=rng.randrange(1 << 31),
+        )
+        pos = Position(
+            public_key=rng.randrange(1, 1 << 250),
+            collateral_balance=rng.randrange(-(1 << 50), 1 << 50),
+            assets=assets,
+        )
+
+        funded = position_apply_funding(pos, indices)
+
+        oracle = FixedPoint.from_int(pos.collateral_balance, 32)
+        for asset in assets:
+            d_idx = FixedPoint(indices.index_of(asset.asset_id) - asset.cached_funding_index, 32)
+            oracle = oracle - d_idx * asset.balance
+        assert funded.collateral_balance == oracle.with_precision(32).floor()
+        assert all(
+            a.cached_funding_index == indices.index_of(a.asset_id) for a in funded.assets
+        )
 
 
-def test_json_rpc_encoder():
-    rpc = JsonRpcEncoder()
-    call = json.loads(rpc.hello.call(x=1, y="z"))
-    assert call == {"jsonrpc": "2.0", "method": "hello", "id": None, "params": {"x": 1, "y": "z"}}
-    bare = json.loads(rpc.ping.call())
-    assert "params" not in bare
+@pytest.mark.parametrize(
+    "value,error",
+    [(5, None), (0, None), (-1, "negative"), (7, None)],
+)
+def test_maybe_raises_drives_mixed_tables(value, error):
+    def check(v):
+        if v < 0:
+            raise ValueError("negative input")
 
-
-def test_misc_helpers():
-    assert unique([3, 1, 3, 2, 1]) == [3, 1, 2]
-    assert list(blockify([1, 2, 3, 4, 5], 2)) == [[1, 2], [3, 4], [5]]
-    assert camel_to_snake_case("CamelCaseName") == "camel_case_name"
-    assert snake_to_camel_case("snake_case_name") == "SnakeCaseName"
-    assert assert_same_and_get(7, 7, 7) == 7
-    assert add_counters({"a": 1}, {"a": 2, "b": 3}) == {"a": 3, "b": 3}
-
-
-@random_test(seed=1234)
-def test_random_test_decorator(seed):
-    assert seed == 1234
-    assert 0 <= random.random() < 1
-
-
-@parametrize_random_object(seed=99)
-def test_parametrize_random_object(random_object):
-    assert isinstance(random_object, random.Random)
-
-
-def test_maybe_raises():
-    with maybe_raises(ValueError, None):
-        pass
-    with maybe_raises(ValueError, "boom"):
-        raise ValueError("boom goes")
-    with pytest.raises(ValueError):
-        with maybe_raises(ValueError, None):
-            raise ValueError("unexpected")
+    with maybe_raises(ValueError, error):
+        check(value)
