@@ -46,12 +46,14 @@ _N_BITS = N_ELEMENT_BITS_ECDSA  # 251
 
 
 def bit_decompose(limbs: jnp.ndarray, n_bits: int = _N_BITS) -> jnp.ndarray:
-    """(..., 21) 12-bit limbs -> (..., n_bits) bits (int32 0/1)."""
-    bits = []
-    for k in range(n_bits):
-        i, sh = divmod(k, 12)
-        bits.append((limbs[..., i] >> sh) & 1)
-    return jnp.stack(bits, axis=-1)
+    """(..., 21) 12-bit limbs -> (..., n_bits) bits (int32 0/1).
+
+    Vectorized: one broadcast shift over a (21, 12) bit grid instead of
+    n_bits sliced shifts.
+    """
+    grid = (limbs[..., :, None] >> jnp.arange(12, dtype=limbs.dtype)) & 1
+    flat = grid.reshape(*limbs.shape[:-1], limbs.shape[-1] * 12)
+    return flat[..., :n_bits]
 
 
 @functools.lru_cache(maxsize=1)

@@ -22,7 +22,7 @@ The Pallas kernels in `field_pallas.py` reuse these column-arithmetic bounds.
 
 import functools
 import os
-from typing import Sequence, Union
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -67,30 +67,92 @@ def unpack_ints(arr: Union[np.ndarray, jnp.ndarray]) -> np.ndarray:
     return out.reshape(arr.shape[:-1])
 
 
+def _shift_up(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Shift limbs toward the high end along the last axis (value *= 2^(12s)).
+
+    result[..., i] = x[..., i-s] (zeros shifted in at the low end; the top s
+    limbs fall off). One lax.pad op: no per-limb slicing.
+    """
+    cfg = [(0, 0, 0)] * (x.ndim - 1) + [(s, -s, 0)]
+    return jax.lax.pad(x, jnp.zeros((), x.dtype), cfg)
+
+
+def _resolve_unit_carries(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Kogge-Stone carry resolution for limbs in [0, 2^12].
+
+    Input limbs may be at most 2^12 (one pending unit carry each); returns
+    (canonical limbs in [0, 2^12), carry_out of the top limb). log2(k)
+    doubling steps of whole-array ops instead of a k-step ripple.
+    """
+    g = t >> LIMB_BITS  # 1 iff this limb generates a carry (t == 2^12)
+    p = (t == LIMB_MASK).astype(t.dtype)  # propagates an incoming carry
+    s = 1
+    while s < t.shape[-1]:
+        g = g | (p & _shift_up(g, s))
+        p = p & _shift_up(p, s)
+        s <<= 1
+    carry_in = _shift_up(g, 1)
+    return (t + carry_in) & LIMB_MASK, g[..., -1]
+
+
 def _carry_propagate(t: jnp.ndarray) -> jnp.ndarray:
-    """Sequential carry propagation to canonical 12-bit limbs (no wraparound).
+    """Carry propagation to canonical 12-bit limbs (no wraparound).
 
     Input limbs may be any nonnegative int32 values; output limbs are in
-    [0, 2^12). The final carry must be zero (caller guarantees range).
+    [0, 2^12). The final carry must be zero (caller guarantees the true value
+    fits in the given limb count).
+
+    Two lowerings of the same arithmetic (selected like mont_mul, by backend):
+      - unrolled ripple (TPU): a k-step sequential carry chain; XLA fuses it
+        into tight lane code, and TPU relayouts for limb-axis shifts are
+        avoided.
+      - vectorized (CPU/testing): two carry-save passes shrink limbs to at
+        most 2^12, then a Kogge-Stone pass resolves the remaining unit
+        carries; ~10x less HLO, which dominates CPU compile time.
     """
-    limbs = []
-    carry = jnp.zeros_like(t[..., 0])
-    for i in range(t.shape[-1]):
-        v = t[..., i] + carry
-        limbs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(limbs, axis=-1)
+    if _use_unrolled_mont():
+        limbs = []
+        carry = jnp.zeros_like(t[..., 0])
+        for i in range(t.shape[-1]):
+            v = t[..., i] + carry
+            limbs.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(limbs, axis=-1)
+    for _ in range(2):
+        c = t >> LIMB_BITS
+        t = (t & LIMB_MASK) + _shift_up(c, 1)
+    # Limbs now < 2^12 + 2^8; one more pass leaves at most a unit carry.
+    c = t >> LIMB_BITS
+    t = (t & LIMB_MASK) + _shift_up(c, 1)
+    out, _carry = _resolve_unit_carries(t)
+    return out
 
 
 def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b with borrow propagation. Returns (diff mod 2^(12k), borrow_out)."""
-    limbs = []
-    borrow = jnp.zeros_like(a[..., 0])
-    for i in range(a.shape[-1]):
-        v = a[..., i] - b[..., i] - borrow
-        limbs.append(v & LIMB_MASK)
-        borrow = (v >> LIMB_BITS) & 1  # v in (-2^13, 2^12): borrow is 0 or 1
-    return jnp.stack(limbs, axis=-1), borrow
+    """a - b with borrow propagation. Returns (diff mod 2^(12k), borrow_out).
+
+    Dual lowering like _carry_propagate: unrolled borrow ripple on TPU;
+    on CPU, base-2^12 two's complement a + (~b) + 1 so the carry machinery
+    stays non-negative, with borrow_out = 1 - carry_out.
+    """
+    if _use_unrolled_mont():
+        limbs = []
+        borrow = jnp.zeros_like(a[..., 0])
+        for i in range(a.shape[-1]):
+            v = a[..., i] - b[..., i] - borrow
+            limbs.append(v & LIMB_MASK)
+            borrow = (v >> LIMB_BITS) & 1  # v in (-2^13, 2^12): borrow is 0 or 1
+        return jnp.stack(limbs, axis=-1), borrow
+    one_lsb = np.zeros(a.shape[-1], dtype=np.int32)
+    one_lsb[0] = 1
+    t = a + (LIMB_MASK - b) + one_lsb  # limbs in [0, 2^13)
+    c = t >> LIMB_BITS
+    t = (t & LIMB_MASK) + _shift_up(c, 1)  # limbs in [0, 2^12]
+    diff, ks_carry = _resolve_unit_carries(t)
+    # The wraparound carry leaves either in the carry-save pass (top limb's
+    # shifted-off carry) or in the Kogge-Stone pass; never both (total < 2^265).
+    carry_out = c[..., -1] + ks_carry
+    return diff, 1 - carry_out
 
 
 def _ge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -322,15 +384,10 @@ class Field:
 
 
 def _carry_propagate_with_top(t: jnp.ndarray) -> jnp.ndarray:
-    """Carry-propagate and keep one extra top limb (for values < 2^253)."""
-    limbs = []
-    carry = jnp.zeros_like(t[..., 0])
-    for i in range(t.shape[-1]):
-        v = t[..., i] + carry
-        limbs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    limbs.append(carry)
-    return jnp.stack(limbs, axis=-1)
+    """Carry-propagate and keep one extra top limb (for values < 2^(12(k+1)))."""
+    cfg = [(0, 0, 0)] * (t.ndim - 1) + [(0, 1, 0)]
+    extended = jax.lax.pad(t, jnp.zeros((), t.dtype), cfg)
+    return _carry_propagate(extended)
 
 
 @functools.lru_cache(maxsize=None)
