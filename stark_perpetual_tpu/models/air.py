@@ -12,13 +12,37 @@ perpetual business logic (models/perpetual) defines *what* must hold; an
 framework is exercised end-to-end by the Fibonacci demo AIR in tests and by
 `PedersenAir`-style traces in later rounds.
 
-Soundness notes: the composition uses one random alpha per constraint and
-per-query trace-consistency checks against the committed trace; DEEP-ALI
-sampling is left for a later round (documented gap).
+Soundness design (DEEP-ALI):
+  - The transcript binds the public inputs: a Merkle hash of the proof
+    geometry (n, blowup, n_queries, grinding), the boundary assertions and
+    the AIR's `public_inputs()` is absorbed before the trace root.
+  - The composition polynomial (one alpha per constraint, quotients by the
+    transition/boundary divisors) is split into `transition_degree` parts of
+    degree < n, each committed in a second Merkle tree.
+  - An out-of-domain point z is drawn AFTER all commitments; the prover
+    sends T_j(z), T_j(g z) and H_i(z), and the verifier checks the
+    composition identity at z directly — a cheating composition commitment
+    survives with probability ~deg/p over z.
+  - FRI then runs on the DEEP quotient
+        sum_j gamma_j (T_j(x) - T_j(z))/(x - z)
+      + sum_j gamma'_j (T_j(x) - T_j(g z))/(x - g z)
+      + sum_i gamma''_i (H_i(x) - H_i(z))/(x - z),
+    which is low-degree iff the committed codewords actually take the
+    claimed values at z — binding the OOD check to the commitments.
+  - FRI query indices are deduplicated (each contributes full soundness)
+    and optionally grinded (proof-of-work nonce before query sampling).
+  - Per-constraint degree-adjustment terms are deliberately omitted: the
+    split H commitment fixes the composition degree bound at
+    n * transition_degree, and the OOD identity catches any rational
+    (non-polynomial) composition; adjustment terms only tighten the bound,
+    they are not needed for soundness here.
+  - `stark_security_bits` reports the conjectured level for a given
+    (blowup, n_queries, grinding) configuration.
 """
 
-from dataclasses import dataclass
-from typing import Callable, List, Sequence, Tuple
+import functools
+from dataclasses import dataclass, field as dataclass_field
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -106,18 +130,57 @@ class Air:
     def boundary(self) -> List[Tuple[int, int, int]]:
         return []
 
+    def public_inputs(self) -> List[int]:
+        """Extra public values bound into the Fiat-Shamir transcript.
+
+        The framework always binds the geometry and boundary assertions;
+        AIRs with additional public claims (e.g. the hashes a Pedersen
+        builtin batch asserts) list them here so a proof cannot be replayed
+        against different public inputs.
+        """
+        return []
+
+
+def stark_security_bits(blowup: int, n_queries: int, grinding_bits: int = 0) -> int:
+    """Conjectured soundness level of a proof configuration, in bits.
+
+    Standard FRI accounting: each distinct query contributes log2(blowup)
+    bits (the codeword is within unique-decoding distance of at most one
+    low-degree polynomial), plus the grinding work; capped by the
+    Fiat-Shamir channel's 252-bit Pedersen sponge (~126-bit collision
+    level). The default prover configuration (blowup=8, n_queries=16)
+    gives 48 bits; production geometries should use e.g. blowup=16,
+    n_queries=24, grinding_bits=20 for ~116 bits.
+    """
+    import math
+
+    return min(int(n_queries * math.log2(blowup)) + grinding_bits, 126)
+
 
 @dataclass
 class StarkProof:
     trace_root: int
     trace_length: int
     blowup: int
+    n_queries: int
+    grinding_bits: int
+    # Composition commitment (transition_degree parts of degree < n).
+    comp_root: int
+    # Out-of-domain openings at z (drawn after all commitments).
+    ood_trace: List[int]  # T_j(z), main then interaction columns
+    ood_trace_next: List[int]  # T_j(g z)
+    ood_comp: List[int]  # H_i(z)
     fri: FriProof
-    # per query: (openings at q, openings at q_next, paths at q, paths at q_next)
-    trace_openings: List[Tuple[List[int], List[int], List[int], List[int]]]
+    # per query: (column values at q, auth path at q)
+    trace_openings: List[Tuple[List[int], List[int]]]
+    comp_openings: List[Tuple[List[int], List[int]]]
     # interaction phase (zero/empty when the AIR has no interaction columns)
     inter_root: int = 0
-    inter_openings: List[Tuple[List[int], List[int], List[int], List[int]]] = None
+    inter_openings: Optional[List[Tuple[List[int], List[int]]]] = None
+
+    @property
+    def security_bits(self) -> int:
+        return stark_security_bits(self.blowup, self.n_queries, self.grinding_bits)
 
 
 def _row_leaves(columns_lde: List[List[int]]) -> List[int]:
@@ -130,15 +193,26 @@ def _row_leaves(columns_lde: List[List[int]]) -> List[int]:
 
 
 class StarkProver:
-    def __init__(self, air: Air, blowup: int = 8, n_queries: int = 16, sharding=None):
+    def __init__(
+        self,
+        air: Air,
+        blowup: int = 8,
+        n_queries: int = 16,
+        sharding=None,
+        grinding_bits: int = 0,
+    ):
         """sharding: optional jax.sharding.NamedSharding whose spec shards
         the LDE-row axis (e.g. NamedSharding(mesh, P(None, "dp", None))).
         The composition program's inputs are committed to it, so XLA
         partitions the whole constraint-eval/quotient stage across the
         mesh (trace sharded by rows, SURVEY.md section 2.5)."""
+        assert blowup >= max(2, air.transition_degree), (
+            "composition split needs blowup >= transition_degree"
+        )
         self.air = air
         self.blowup = blowup
         self.n_queries = n_queries
+        self.grinding_bits = grinding_bits
         self.sharding = sharding
         self.f = stark_prime_field()
         self._programs = {}
@@ -237,7 +311,15 @@ class StarkProver:
         leaf_limbs = f.pack(leaves)
         trace_root, trace_levels = dense_commit_device(leaf_limbs)
 
+        # The transcript starts from the public inputs: geometry, boundary
+        # assertions and AIR-specific claims. A proof replayed against
+        # different public inputs derives different challenges and dies.
         channel = Channel()
+        channel.absorb(
+            _public_input_hash(
+                air, n, self.blowup, self.n_queries, self.grinding_bits, air.boundary()
+            )
+        )
         channel.absorb(trace_root)
 
         # 2b. Interaction phase: draw randomness, build + commit the second
@@ -250,8 +332,9 @@ class StarkProver:
             inter_cols = air.build_interaction(trace_columns, challenges)
             assert len(inter_cols) == air.n_interaction_columns
             icols = jnp.asarray(np.stack([f.pack(list(col)) for col in inter_cols]))
+            icoeffs = ntt.ntt(icols, inverse=True)
             inter_ldes_all = np.asarray(
-                ntt.lde(ntt.ntt(icols, inverse=True), self.blowup, shift=FIELD_GEN)
+                ntt.lde(icoeffs, self.blowup, shift=FIELD_GEN)
             )
             inter_lde_ints = [
                 [int(v) for v in unpack_ints(inter_ldes_all[i])]
@@ -325,60 +408,220 @@ class StarkProver:
         comp_std = program(
             cur_m, pub_m, chal_m, t_alphas_m, b_cols, b_xrow_m, b_val_m, b_alphas_m
         )
-        comp_ints = [int(v) for v in unpack_ints(np.asarray(comp_std))]
 
-        # 6. FRI on the composition codeword, seeded by the running channel.
+        # 6. Split the composition polynomial into degree-<n parts and commit
+        # them. comp has degree < n_parts * n (transitions divided by the
+        # degree-(n-1) transition divisor; boundary quotients are < n).
+        from stark_perpetual_tpu.ops.fri import _geom_program
+
+        n_parts = max(1, air.transition_degree - 1)
+        one_m = jnp.asarray(f.pack((1 << 252) % FIELD_PRIME))
+        inv_off = pow(FIELD_GEN, FIELD_PRIME - 2, FIELD_PRIME)
+        invoff_tab = _geom_program(big)(
+            jnp.asarray(f.pack((inv_off << 252) % FIELD_PRIME)), one_m
+        )
+        comp_coeffs = _apply_powers_program(big)(
+            ntt.ntt(comp_std, inverse=True), invoff_tab
+        )
+        # For an honest trace the composition is a polynomial of degree
+        # < n_parts * n and the tail coefficients are zero. An invalid trace
+        # makes the composition rational: truncating here is exactly what a
+        # cheating prover could do, and the verifier's out-of-domain identity
+        # check rejects it (tested by test_stark_rejects_invalid_trace).
+        parts_std = comp_coeffs[: n_parts * n].reshape(n_parts, n, N_LIMBS)
+        h_ldes = np.asarray(ntt.lde(parts_std, self.blowup, shift=FIELD_GEN))
+        h_lde_ints = [
+            [int(v) for v in unpack_ints(h_ldes[i])] for i in range(n_parts)
+        ]
+        comp_root, comp_levels = dense_commit_device(f.pack(_row_leaves(h_lde_ints)))
+        channel.absorb(comp_root)
+
+        # 7. Out-of-domain sampling: open every committed polynomial at z
+        # (and the trace also at g z), binding the composition identity to
+        # one random point.
+        z = channel.challenge()
+        w_n_val = root_of_unity(n)
+        gz = z * w_n_val % FIELD_PRIME
+        if air.n_interaction_columns:
+            coeffs_all = jnp.concatenate([coeffs, icoeffs], axis=0)
+        else:
+            coeffs_all = coeffs
+        n_total = air.n_columns + air.n_interaction_columns
+        zpow = _geom_program(n)(jnp.asarray(f.pack((z << 252) % FIELD_PRIME)), one_m)
+        gzpow = _geom_program(n)(jnp.asarray(f.pack((gz << 252) % FIELD_PRIME)), one_m)
+        eval_t = _eval_at_point_program(n_total, n)
+        ood_trace = [int(v) for v in unpack_ints(np.asarray(eval_t(coeffs_all, zpow)))]
+        ood_trace_next = [
+            int(v) for v in unpack_ints(np.asarray(eval_t(coeffs_all, gzpow)))
+        ]
+        eval_h = _eval_at_point_program(n_parts, n)
+        ood_comp = [int(v) for v in unpack_ints(np.asarray(eval_h(parts_std, zpow)))]
+        for v in ood_trace + ood_trace_next + ood_comp:
+            channel.absorb(v)
+
+        # 8. DEEP quotient codeword, then FRI on it.
+        g1 = [channel.challenge() for _ in range(n_total)]
+        g2 = [channel.challenge() for _ in range(n_total)]
+        g3 = [channel.challenge() for _ in range(n_parts)]
+        deep_std = _deep_program(n_total, n_parts, big)(
+            jnp.asarray(ldes_all),
+            jnp.asarray(h_ldes),
+            jnp.asarray(f.pack((z << 252) % FIELD_PRIME)),
+            jnp.asarray(f.pack((gz << 252) % FIELD_PRIME)),
+            mont_pack(ood_trace),
+            mont_pack(ood_trace_next),
+            mont_pack(ood_comp),
+            mont_pack(g1),
+            mont_pack(g2),
+            mont_pack(g3),
+        )
+        deep_ints = [int(v) for v in unpack_ints(np.asarray(deep_std))]
         fri_proof = fri_commit(
-            comp_ints,
+            deep_ints,
             offset=FIELD_GEN,
-            final_size=max(4, self.air.transition_degree * 2),
+            final_size=4,
             n_queries=self.n_queries,
             channel_seed=channel.state,
+            grinding_bits=self.grinding_bits,
         )
 
-        # 7. Open both trace trees at the FRI query points (and their
-        # next-row counterparts) so the verifier can recompute the
-        # composition.
+        # 9. Open the trace / interaction / composition trees at the FRI
+        # query points (single-point openings: the DEEP quotient replaced
+        # the next-row consistency checks).
         openings = []
+        comp_openings = []
         inter_openings = [] if air.n_interaction_columns else None
         for q in fri_proof.indices:
-            q_next = (q + self.blowup) % big
             vals_q = [lde_ints[c][q] for c in range(air.n_columns)]
-            vals_qn = [lde_ints[c][q_next] for c in range(air.n_columns)]
-            openings.append(
-                (
-                    vals_q,
-                    vals_qn,
-                    auth_path_from_levels(trace_levels, q),
-                    auth_path_from_levels(trace_levels, q_next),
-                )
-            )
+            openings.append((vals_q, auth_path_from_levels(trace_levels, q)))
+            hvals_q = [h_lde_ints[i][q] for i in range(n_parts)]
+            comp_openings.append((hvals_q, auth_path_from_levels(comp_levels, q)))
             if air.n_interaction_columns:
                 ivals_q = [
                     inter_lde_ints[c][q] for c in range(air.n_interaction_columns)
                 ]
-                ivals_qn = [
-                    inter_lde_ints[c][q_next]
-                    for c in range(air.n_interaction_columns)
-                ]
                 inter_openings.append(
-                    (
-                        ivals_q,
-                        ivals_qn,
-                        auth_path_from_levels(inter_levels, q),
-                        auth_path_from_levels(inter_levels, q_next),
-                    )
+                    (ivals_q, auth_path_from_levels(inter_levels, q))
                 )
 
         return StarkProof(
             trace_root=trace_root,
             trace_length=n,
             blowup=self.blowup,
+            n_queries=self.n_queries,
+            grinding_bits=self.grinding_bits,
+            comp_root=comp_root,
+            ood_trace=ood_trace,
+            ood_trace_next=ood_trace_next,
+            ood_comp=ood_comp,
             fri=fri_proof,
             trace_openings=openings,
+            comp_openings=comp_openings,
             inter_root=inter_root,
             inter_openings=inter_openings,
         )
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_at_point_program(c_count: int, n: int):
+    """Evaluate c_count degree-<n polynomials at one point (device).
+
+    Inputs: std-domain coefficients (C, n, 21) and Montgomery powers z^i
+    (n, 21); output std-domain values (C, 21) via a log2(n) mod-add tree.
+    """
+    import jax
+
+    f = stark_prime_field()
+
+    @jax.jit
+    def run(coeffs_std, powers_m):
+        terms = f.mont_mul(
+            f.to_mont(coeffs_std),
+            jnp.broadcast_to(powers_m[None], (c_count, n, N_LIMBS)),
+        )
+        m = n
+        while m > 1:
+            terms = f.add(terms[:, : m // 2], terms[:, m // 2 : m])
+            m //= 2
+        return f.from_mont(terms[:, 0])
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _apply_powers_program(m: int):
+    """Elementwise modular multiply by a Montgomery power table (device)."""
+    import jax
+
+    f = stark_prime_field()
+
+    @jax.jit
+    def run(vals_std, powers_m):
+        return f.from_mont(f.mont_mul(f.to_mont(vals_std), powers_m))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _deep_program(n_cols: int, n_parts: int, big: int):
+    """The DEEP quotient codeword over the LDE domain, as one jit program."""
+    import jax
+
+    f = stark_prime_field()
+
+    @jax.jit
+    def run(t_ldes, h_ldes, z_m, gz_m, tz_m, tgz_m, hz_m, g1_m, g2_m, g3_m):
+        xs = _coset_power_table(f, big, FIELD_GEN, 1)
+
+        def comb(ldes_m, claims_m, gammas_m, count):
+            acc = jnp.zeros((big, N_LIMBS), dtype=jnp.int32)
+            for j in range(count):
+                diff = f.sub(ldes_m[j], jnp.broadcast_to(claims_m[j], (big, N_LIMBS)))
+                acc = f.add(
+                    acc, f.mont_mul(jnp.broadcast_to(gammas_m[j], (big, N_LIMBS)), diff)
+                )
+            return acc
+
+        t_m = f.to_mont(t_ldes)
+        h_m = f.to_mont(h_ldes)
+        s1 = comb(t_m, tz_m, g1_m, n_cols)
+        s2 = comb(t_m, tgz_m, g2_m, n_cols)
+        s3 = comb(h_m, hz_m, g3_m, n_parts)
+        inv_xz = f.batch_inv(
+            f.sub(xs, jnp.broadcast_to(z_m, (big, N_LIMBS))), group=min(64, big)
+        )
+        inv_xgz = f.batch_inv(
+            f.sub(xs, jnp.broadcast_to(gz_m, (big, N_LIMBS))), group=min(64, big)
+        )
+        deep = f.add(f.mont_mul(f.add(s1, s3), inv_xz), f.mont_mul(s2, inv_xgz))
+        return f.from_mont(deep)
+
+    return run
+
+
+def _public_input_hash(
+    air: Air, n: int, blowup: int, n_queries: int, grinding_bits: int, boundary
+) -> int:
+    """Merkle hash binding the proof geometry + public inputs (transcript seed)."""
+    items = [
+        n,
+        blowup,
+        n_queries,
+        grinding_bits,
+        air.n_columns,
+        air.n_interaction_columns,
+        air.transition_degree,
+        len(boundary),
+    ]
+    for col, row, value in boundary:
+        items.extend((col, row, value % FIELD_PRIME))
+    items.extend(v % FIELD_PRIME for v in air.public_inputs())
+    items.append(len(items))
+    size = 1 << max(3, (len(items) - 1).bit_length())
+    items += [0] * (size - len(items))
+    f = stark_prime_field()
+    root, _levels = dense_commit_device(f.pack(items))
+    return root
 
 
 def _coset_power_table(f, size: int, offset: int, power: int) -> jnp.ndarray:
@@ -396,27 +639,64 @@ def _coset_power_table(f, size: int, offset: int, power: int) -> jnp.ndarray:
     return f.mont_mul(base_m, powers)
 
 
-def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
-    """Re-derive channel values, check trace openings, recompute the
-    composition at every query, and verify the FRI proof."""
+def verify_stark(
+    air: Air,
+    proof: StarkProof,
+    claimed_boundary=None,
+    min_security_bits: Optional[int] = None,
+) -> bool:
+    """DEEP-ALI verifier.
+
+    Re-derives the transcript (public-input hash first), checks the
+    composition identity at the out-of-domain point, verifies FRI on the
+    DEEP quotient, and at every query recomputes the DEEP value from the
+    committed trace/composition openings.
+    """
     n = proof.trace_length
     big = n * proof.blowup
+    n_total = air.n_columns + air.n_interaction_columns
+    n_parts = max(1, air.transition_degree - 1)
+    boundary = air.boundary() if claimed_boundary is None else claimed_boundary
+
+    # Structural checks (the proof is adversarial input).
+    if min_security_bits is not None and proof.security_bits < min_security_bits:
+        return False
+    n_q = len(proof.fri.queries)
+    if proof.n_queries != n_q:
+        return False
+    if len(proof.trace_openings) != n_q or len(proof.comp_openings) != n_q:
+        return False
+    if len(proof.ood_trace) != n_total or len(proof.ood_trace_next) != n_total:
+        return False
+    if len(proof.ood_comp) != n_parts:
+        return False
+    if any(len(vals) != air.n_columns for vals, _path in proof.trace_openings):
+        return False
+    if any(len(vals) != n_parts for vals, _path in proof.comp_openings):
+        return False
+
     channel = Channel()
+    channel.absorb(
+        _public_input_hash(
+            air, n, proof.blowup, proof.n_queries, proof.grinding_bits, boundary
+        )
+    )
     channel.absorb(proof.trace_root)
     challenges = [channel.challenge() for _ in range(air.n_interaction_challenges)]
     if air.n_interaction_columns:
-        if proof.inter_openings is None or len(proof.inter_openings) != len(
-            proof.trace_openings
+        if proof.inter_openings is None or len(proof.inter_openings) != n_q:
+            return False
+        if any(
+            len(vals) != air.n_interaction_columns
+            for vals, _path in proof.inter_openings
         ):
             return False
         channel.absorb(proof.inter_root)
 
-    # Public columns: interpolate once (host coefficients), evaluate at each
-    # query point by Horner — they are not part of the commitment.
+    # Public columns: interpolate once (host coefficients); the verifier
+    # evaluates them itself — they are not part of any commitment.
     pub_cols = air.public_columns()
     if pub_cols:
-        from stark_perpetual_tpu.ops.field import stark_prime_field
-
         f = stark_prime_field()
         ntt = ntt_ops()
         pub_coeffs = [
@@ -427,23 +707,65 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
         pub_coeffs = []
 
     # Re-derive alphas in prover order.
-    n_total_cols = air.n_columns + air.n_interaction_columns
     n_transitions = len(
         air.transition_exprs_host_chal(
-            [0] * n_total_cols, [0] * n_total_cols, [0] * len(pub_cols), [1] * len(challenges)
+            [0] * n_total, [0] * n_total, [0] * len(pub_cols), [1] * len(challenges)
         )
     )
     t_alphas = [channel.challenge() for _ in range(n_transitions)]
-    boundary = air.boundary() if claimed_boundary is None else claimed_boundary
     b_alphas = [channel.challenge() for _ in boundary]
 
-    final_size = max(4, air.transition_degree * 2)
-    degree_bound = n * air.transition_degree
+    channel.absorb(proof.comp_root)
+    z = channel.challenge()
+    w_n = root_of_unity(n)
+    gz = z * w_n % FIELD_PRIME
+    for v in proof.ood_trace + proof.ood_trace_next + proof.ood_comp:
+        channel.absorb(v)
+    g1 = [channel.challenge() for _ in range(n_total)]
+    g2 = [channel.challenge() for _ in range(n_total)]
+    g3 = [channel.challenge() for _ in range(n_parts)]
+
+    # The out-of-domain composition identity: the committed H parts must
+    # equal the alpha-combined constraint quotients at z.
+    g_last = pow(w_n, n - 1, FIELD_PRIME)
+    divisors = air.transition_divisors()
+    inv_z_all = pow(
+        (pow(z, n, FIELD_PRIME) - 1) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME
+    )
+    inv_z = (z - g_last) % FIELD_PRIME * inv_z_all % FIELD_PRIME
+    pub_z = [_horner(coeffs, z) for coeffs in pub_coeffs]
+    comp_at_z = 0
+    for k, (alpha, cval) in enumerate(
+        zip(
+            t_alphas,
+            air.transition_exprs_host_chal(
+                list(proof.ood_trace), list(proof.ood_trace_next), pub_z, challenges
+            ),
+        )
+    ):
+        div = inv_z if divisors is None or divisors[k] == "trans" else inv_z_all
+        comp_at_z = (comp_at_z + alpha * cval % FIELD_PRIME * div) % FIELD_PRIME
+    for alpha, (col, row, value) in zip(b_alphas, boundary):
+        x_row = pow(w_n, row, FIELD_PRIME)
+        inv = pow((z - x_row) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
+        comp_at_z = (
+            comp_at_z
+            + alpha * ((proof.ood_trace[col] - value) % FIELD_PRIME) % FIELD_PRIME * inv
+        ) % FIELD_PRIME
+    z_n = pow(z, n, FIELD_PRIME)
+    h_at_z = 0
+    for i in reversed(range(n_parts)):
+        h_at_z = (h_at_z * z_n + proof.ood_comp[i]) % FIELD_PRIME
+    if comp_at_z != h_at_z:
+        return False
+
+    # FRI on the DEEP quotient (degree < n).
     if not fri_verify(
         proof.fri,
-        final_size=final_size,
+        final_size=4,
         channel_seed=channel.state,
-        degree_bound=degree_bound,
+        degree_bound=n,
+        grinding_bits=proof.grinding_bits,
     ):
         return False
 
@@ -454,53 +776,43 @@ def verify_stark(air: Air, proof: StarkProof, claimed_boundary=None) -> bool:
         fri_channel.challenge()
     for c in proof.fri.final_coeffs:
         fri_channel.absorb(c)
-    indices = fri_channel.query_indices(len(proof.fri.queries), big)
+    if not fri_channel.check_grind(proof.grinding_bits, proof.fri.pow_nonce):
+        return False
+    indices = fri_channel.query_indices(n_q, big)
 
     w_big = root_of_unity(big)
-    w_n = root_of_unity(n)
-    g_last = pow(w_n, n - 1, FIELD_PRIME)
-    divisors = air.transition_divisors()
-    for qi, (q, (vals_q, vals_qn, path_q, path_qn), per_layer) in enumerate(
-        zip(indices, proof.trace_openings, proof.fri.queries)
+    for qi, (q, (tvals, tpath), (hvals, hpath), per_layer) in enumerate(
+        zip(indices, proof.trace_openings, proof.comp_openings, proof.fri.queries)
     ):
-        q_next = (q + proof.blowup) % big
-        leaf_q = _fold_row(vals_q)
-        leaf_qn = _fold_row(vals_qn)
-        if not verify_path(leaf_q, q, path_q, proof.trace_root):
+        if not verify_path(_fold_row(tvals), q, tpath, proof.trace_root):
             return False
-        if not verify_path(leaf_qn, q_next, path_qn, proof.trace_root):
+        if not verify_path(_fold_row(hvals), q, hpath, proof.comp_root):
             return False
+        t_all = list(tvals)
         if air.n_interaction_columns:
-            ivals_q, ivals_qn, ipath_q, ipath_qn = proof.inter_openings[qi]
-            if not verify_path(_fold_row(ivals_q), q, ipath_q, proof.inter_root):
+            ivals, ipath = proof.inter_openings[qi]
+            if not verify_path(_fold_row(ivals), q, ipath, proof.inter_root):
                 return False
-            if not verify_path(
-                _fold_row(ivals_qn), q_next, ipath_qn, proof.inter_root
-            ):
-                return False
-            vals_q = list(vals_q) + list(ivals_q)
-            vals_qn = list(vals_qn) + list(ivals_qn)
+            t_all += list(ivals)
 
+        # Recompute the DEEP quotient at x_q from the opened values.
         x = FIELD_GEN * pow(w_big, q, FIELD_PRIME) % FIELD_PRIME
-        inv_z_all = pow((pow(x, n, FIELD_PRIME) - 1) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
-        inv_z = (x - g_last) % FIELD_PRIME * inv_z_all % FIELD_PRIME
-        pub_q = [_horner(coeffs, x) for coeffs in pub_coeffs]
-        comp = 0
-        for k, (alpha, cval) in enumerate(
-            zip(t_alphas, air.transition_exprs_host_chal(vals_q, vals_qn, pub_q, challenges))
-        ):
-            div = inv_z if divisors is None or divisors[k] == "trans" else inv_z_all
-            comp = (comp + alpha * cval % FIELD_PRIME * div) % FIELD_PRIME
-        for alpha, (col, row, value) in zip(b_alphas, boundary):
-            x_row = pow(w_n, row, FIELD_PRIME)
-            inv = pow((x - x_row) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
-            comp = (comp + alpha * ((vals_q[col] - value) % FIELD_PRIME) % FIELD_PRIME * inv) % FIELD_PRIME
+        inv_xz = pow((x - z) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
+        inv_xgz = pow((x - gz) % FIELD_PRIME, FIELD_PRIME - 2, FIELD_PRIME)
+        s1 = 0
+        s2 = 0
+        for j in range(n_total):
+            s1 = (s1 + g1[j] * ((t_all[j] - proof.ood_trace[j]) % FIELD_PRIME)) % FIELD_PRIME
+            s2 = (s2 + g2[j] * ((t_all[j] - proof.ood_trace_next[j]) % FIELD_PRIME)) % FIELD_PRIME
+        s3 = 0
+        for i in range(n_parts):
+            s3 = (s3 + g3[i] * ((hvals[i] - proof.ood_comp[i]) % FIELD_PRIME)) % FIELD_PRIME
+        deep = ((s1 + s3) * inv_xz + s2 * inv_xgz) % FIELD_PRIME
 
-        # The FRI layer-0 opening at q must equal the recomputed composition.
         half = big // 2
         fx, fmx = per_layer[0][0], per_layer[0][1]
         observed = fx if q < half else fmx
-        if observed != comp:
+        if observed != deep:
             return False
     return True
 

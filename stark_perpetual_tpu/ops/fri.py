@@ -49,11 +49,52 @@ class Channel:
         return self.state
 
     def query_indices(self, n_queries: int, domain_size: int) -> List[int]:
-        out = []
-        while len(out) < n_queries:
-            v = self.challenge()
-            out.append(v % domain_size)
+        """Distinct query indices: repeats are redrawn, so n_queries is the
+        *effective* query count (each distinct index contributes its full
+        log2(blowup) bits to the soundness level)."""
+        out: List[int] = []
+        seen = set()
+        target = min(n_queries, domain_size)
+        while len(out) < target:
+            v = self.challenge() % domain_size
+            if v in seen:
+                continue
+            seen.add(v)
+            out.append(v)
         return out
+
+    def grind(self, bits: int) -> int:
+        """Proof-of-work: find a nonce making the absorbed state small.
+
+        Searches the smallest nonce with h(state, nonce) < p >> bits, then
+        absorbs it (so the query indices drawn next cost 2^bits work to
+        re-roll). Returns the nonce; the verifier re-checks via check_grind.
+        """
+        if bits == 0:
+            return 0
+        threshold = FIELD_PRIME >> bits
+        base = 0
+        batch = 256
+        while True:
+            hashes = pedersen_hash_ints(
+                [(self.state, base + i) for i in range(batch)]
+            )
+            hits = [i for i, h in enumerate(hashes) if h < threshold]
+            if hits:
+                nonce = base + hits[0]
+                break
+            base += batch
+        self.absorb(nonce)
+        return nonce
+
+    def check_grind(self, bits: int, nonce: int) -> bool:
+        """Verifier side of grind: check the nonce then absorb it."""
+        if bits == 0:
+            return True
+        if pedersen_hash_ints([(self.state, nonce)])[0] >= FIELD_PRIME >> bits:
+            return False
+        self.absorb(nonce)
+        return True
 
 
 @dataclass
@@ -76,6 +117,9 @@ class FriProof:
     # Prover-side convenience: the query indices (verifier re-derives them
     # from the channel; callers like the STARK prover open the trace there).
     indices: List[int] = None
+    # Proof-of-work nonce (grinding): absorbed after the final coefficients,
+    # before query sampling. 0 when grinding is disabled.
+    pow_nonce: int = 0
 
 
 def _fold_layer(f, evals: jnp.ndarray, inv2x: jnp.ndarray, beta_mont: jnp.ndarray):
@@ -155,6 +199,7 @@ def fri_commit(
     final_size: int = 8,
     n_queries: int = 16,
     channel_seed: int = 0,
+    grinding_bits: int = 0,
 ) -> FriProof:
     """Commit + open: full FRI proof for the given codeword evaluations."""
     f = stark_prime_field()
@@ -183,7 +228,8 @@ def fri_commit(
     for c in final_coeffs:
         channel.absorb(c)
 
-    # Queries.
+    # Proof-of-work, then queries (distinct indices).
+    pow_nonce = channel.grind(grinding_bits)
     indices = channel.query_indices(n_queries, n)
     queries = []
     for q in indices:
@@ -213,6 +259,7 @@ def fri_commit(
         domain_size=n,
         offset=offset,
         indices=indices,
+        pow_nonce=pow_nonce,
     )
 
 
@@ -242,6 +289,7 @@ def fri_verify(
     final_size: int = 8,
     channel_seed: int = 0,
     degree_bound: int = None,
+    grinding_bits: int = 0,
 ) -> bool:
     """Re-derive challenges, check openings, recompute every fold.
 
@@ -263,6 +311,8 @@ def fri_verify(
         allowed = max(1, degree_bound >> len(proof.layer_roots))
         if any(c != 0 for c in proof.final_coeffs[allowed:]):
             return False
+    if not channel.check_grind(grinding_bits, proof.pow_nonce):
+        return False
     indices = channel.query_indices(len(proof.queries), n)
 
     inv2 = pow(2, FIELD_PRIME - 2, FIELD_PRIME)
