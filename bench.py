@@ -1,15 +1,21 @@
-"""Benchmark: batched Pedersen hash throughput on one chip (north-star metric).
+"""Benchmarks: the BASELINE.json north-star configs on the attached device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the ratio against the BASELINE.json target of 1e6 Pedersen
-hashes/s/chip. Runs on whatever device jax selects (the real TPU under the
-driver). Extra diagnostic metrics go to stderr.
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
+The headline (batched Pedersen, target 1e6 hashes/s/chip from BASELINE.json)
+prints first so a failure in a secondary metric never loses it; each
+secondary metric is isolated in its own try/except. Diagnostics go to
+stderr.
+
+vs_baseline is the ratio against the per-metric target. BASELINE.json names
+only the 1M Pedersen/s/chip number; the other targets are this repo's own
+floor expectations, documented next to each constant.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import jax
 
@@ -19,12 +25,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-TARGET_HASHES_PER_SEC = 1_000_000.0
+TARGET_HASHES_PER_SEC = 1_000_000.0  # BASELINE.json north star
+TARGET_ECDSA_PER_SEC = 100_000.0  # repo floor: 2^14-batch AIR-mimic verifies
+TARGET_NTT20_WALL = 1.0  # seconds, 2^20-point forward NTT
+TARGET_NTT24_WALL = 8.0  # seconds, 2^24-point forward NTT (north-star size)
+TARGET_LDE20_WALL = 8.0  # seconds, 2^20 coeffs -> 2^23 coset evals (blowup 8)
+TARGET_STARK_PROVE_WALL = 600.0  # seconds, pedersen-builtin AIR, 8 pooled hashes
 
 
-def main() -> int:
-    import random
+def emit(metric: str, value: float, unit: str, target: float, invert: bool = False):
+    """invert=True for wall-times (smaller is better): ratio = target/value."""
+    ratio = (target / value) if invert else (value / target)
+    print(
+        json.dumps(
+            {"metric": metric, "value": value, "unit": unit, "vs_baseline": ratio}
+        ),
+        flush=True,
+    )
 
+
+def bench_pedersen() -> None:
     from stark_perpetual_tpu.crypto import signature as hostsig
     from stark_perpetual_tpu.ops import pedersen as P
     from stark_perpetual_tpu.ops.field import stark_prime_field
@@ -50,7 +70,7 @@ def main() -> int:
     t0 = time.time()
     h, ok = fn(a, b)
     h.block_until_ready()
-    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"pedersen compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
     assert int(f.unpack(h)[0]) == h0, "bench output not bit-exact!"
 
     reps = 5
@@ -63,97 +83,120 @@ def main() -> int:
         best = min(best, (time.time() - t0) / reps)
     rate = n / best
 
-    # Diagnostics (stderr): host-oracle single-hash rate for context.
     t0 = time.time()
     hostsig.pedersen_hash(a0, b0)
-    print(f"host single hash: {time.time() - t0:.4f}s; device: {rate:,.0f}/s", file=sys.stderr)
-
-    if os.environ.get("BENCH_FULL") == "1":
-        _bench_secondary()
-
     print(
-        json.dumps(
-            {
-                "metric": "pedersen_hashes_per_sec_per_chip",
-                "value": rate,
-                "unit": "hashes/s",
-                "vs_baseline": rate / TARGET_HASHES_PER_SEC,
-            }
-        )
+        f"host single hash: {time.time() - t0:.4f}s; device: {rate:,.0f}/s",
+        file=sys.stderr,
     )
-    return 0
+    emit("pedersen_hashes_per_sec_per_chip", rate, "hashes/s", TARGET_HASHES_PER_SEC)
 
 
-def _bench_secondary() -> None:
-    """BASELINE.json secondary configs (stderr only): batched ECDSA verify
-    (2^14) and 2^20-point NTT."""
+def bench_ecdsa() -> None:
+    """2^14-lane AIR-mimic verify with 256 DISTINCT signatures tiled across
+    the batch (varied messages, keys, table indices — not one replicated
+    lane)."""
     import random
 
-    import numpy as np
-
     from stark_perpetual_tpu.crypto import signature as hostsig
-    from stark_perpetual_tpu.ops.ecdsa import ecdsa_ops
-    from stark_perpetual_tpu.ops.field import pack_ints, stark_prime_field
-    from stark_perpetual_tpu.ops.ntt import ntt_ops
-
-    f = stark_prime_field()
-    rng = random.Random(0)
-
-    # --- ECDSA verify, one signature replicated to 2^14 lanes -------------
-    n = 1 << 14
-    priv = 0x2DCCCE1DA22003777062EE0870E9881B460A8B7ECA276870F57C601F182136C
-    msg = 0xC465DD6B1BBFFDB05442EB17F5CA38AD1AA78A6F56BF4415BDEE219114A47
-    r, s = hostsig.sign(msg, priv)
-    pub = hostsig.private_to_stark_key(priv)
-    y = hostsig.get_y_coordinate(pub)
-    if not hostsig.verify(msg, r, s, (pub, y)):
-        y = (-y) % hostsig.FIELD_PRIME
     from stark_perpetual_tpu.ops.ecdsa_pallas import _verify_fn
+    from stark_perpetual_tpu.ops.field import pack_ints
     from stark_perpetual_tpu.params import EC_ORDER, FIELD_PRIME
 
-    w = pow(s, -1, EC_ORDER)
+    rng = random.Random(7)
+    n_distinct = 256
+    n = 1 << 14
+    msgs, rs, ws, pubs, ys = [], [], [], [], []
+    for _ in range(n_distinct):
+        priv = rng.randrange(1, EC_ORDER)
+        msg = rng.getrandbits(250)
+        r, s = hostsig.sign(msg, priv)
+        pub = hostsig.private_to_stark_key(priv)
+        y = hostsig.get_y_coordinate(pub)
+        if not hostsig.verify(msg, r, s, (pub, y)):
+            y = (-y) % FIELD_PRIME
+        msgs.append(msg)
+        rs.append(r)
+        ws.append(pow(s, -1, EC_ORDER))
+        pubs.append((pub << 252) % FIELD_PRIME)
+        ys.append((y << 252) % FIELD_PRIME)
+
+    reps_tile = n // n_distinct
     args = [
-        jax.device_put(jnp.asarray(np.tile(pack_ints([v]), (n, 1))))
-        for v in (msg, r, w, (pub << 252) % FIELD_PRIME, (y << 252) % FIELD_PRIME)
+        jax.device_put(jnp.asarray(np.tile(pack_ints(vals), (reps_tile, 1))))
+        for vals in (msgs, rs, ws, pubs, ys)
     ]
     fn = _verify_fn()
     t0 = time.time()
     valid = fn(*args)
     valid.block_until_ready()
     print(f"ecdsa compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
-    assert bool(np.asarray(valid)[0])
-    t0 = time.time()
-    valid = fn(*args)
-    valid.block_until_ready()
-    dt = time.time() - t0
-    print(f"ecdsa_verifies_per_sec: {n / dt:,.0f} (batch {n}, {dt*1e3:.1f} ms)", file=sys.stderr)
+    assert bool(np.asarray(valid).all()), "a distinct-signature lane failed!"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        valid = fn(*args)
+        valid.block_until_ready()
+        best = min(best, time.time() - t0)
+    emit("ecdsa_verifies_per_sec", n / best, "verifies/s", TARGET_ECDSA_PER_SEC)
 
-    # --- NTT 2^20 ---------------------------------------------------------
-    m = 1 << 20
+
+def _ntt_input(m: int) -> jnp.ndarray:
     coeffs = np.random.default_rng(1).integers(0, 1 << 12, (m, 21)).astype(np.int32)
     coeffs[:, 20] &= 0x7FF
-    x = jax.device_put(jnp.asarray(coeffs))
+    return jax.device_put(jnp.asarray(coeffs))
+
+
+def bench_ntt(log2m: int, target: float) -> None:
+    from stark_perpetual_tpu.ops.ntt import ntt_ops
+
+    m = 1 << log2m
+    x = _ntt_input(m)
     ntt = ntt_ops()
     t0 = time.time()
     out = ntt.ntt(x)
     out.block_until_ready()
-    print(f"ntt 2^20 compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    out = ntt.ntt(x)
-    out.block_until_ready()
-    print(f"ntt_2e20_wall: {time.time() - t0:.3f}s", file=sys.stderr)
+    print(f"ntt 2^{log2m} compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = ntt.ntt(x)
+        out.block_until_ready()
+        best = min(best, time.time() - t0)
+    emit(f"ntt_2e{log2m}_wall", best, "s", target, invert=True)
 
-    # --- STARK prover: pedersen-builtin AIR, 8 pooled hashes --------------
-    # Opt-in separately: the prover still dispatches many eager device ops,
-    # which cost seconds each through the remote-TPU tunnel (fusing the
-    # prover stages under jit is the planned fix). Run with JAX_PLATFORMS=cpu
-    # for a host-side prover timing.
-    if os.environ.get("BENCH_STARK") != "1":
-        return
+
+def bench_lde() -> None:
+    """2^20 coefficients -> blowup-8 coset evaluations (the prover's LDE)."""
+    from stark_perpetual_tpu.ops.ntt import ntt_ops
+    from stark_perpetual_tpu.params import FIELD_GEN
+
+    m = 1 << 20
+    x = _ntt_input(m)
+    ntt = ntt_ops()
+    t0 = time.time()
+    out = ntt.lde(x, 8, shift=FIELD_GEN)
+    out.block_until_ready()
+    print(f"lde 2^20x8 compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = ntt.lde(x, 8, shift=FIELD_GEN)
+        out.block_until_ready()
+        best = min(best, time.time() - t0)
+    emit("lde_2e20_blowup8_wall", best, "s", TARGET_LDE20_WALL, invert=True)
+
+
+def bench_stark_prove() -> None:
+    """Pooled pedersen-builtin AIR: prove 8 hash obligations end to end
+    (DEEP-ALI prover: trace+composition commits, OOD openings, FRI)."""
+    import random
+
     from stark_perpetual_tpu.crypto.signature import pedersen_hash as _ph
     from stark_perpetual_tpu.models.air import StarkProver, verify_stark
     from stark_perpetual_tpu.models.pedersen_air import PedersenBuiltinAir
 
+    rng = random.Random(0)
     pairs = [(rng.randrange(1 << 251), rng.randrange(1 << 251)) for _ in range(8)]
     air = PedersenBuiltinAir(pairs, [_ph(a, b) for a, b in pairs])
     trace = air.trace()
@@ -162,10 +205,30 @@ def _bench_secondary() -> None:
     dt = time.time() - t0
     assert verify_stark(air, proof)
     print(
-        f"stark_prove_pedersen_air: {dt:.1f}s for 8 hashes "
-        f"(trace 4096 rows x 5 cols, incl. first-compile)",
+        f"stark_prove: {dt:.1f}s for 8 hashes (incl. first-compile), "
+        f"security {proof.security_bits} bits",
         file=sys.stderr,
     )
+    emit("stark_prove_pedersen8_wall", dt, "s", TARGET_STARK_PROVE_WALL, invert=True)
+
+
+def main() -> int:
+    bench_pedersen()  # headline: always first, never guarded
+    secondaries = [
+        bench_ecdsa,
+        lambda: bench_ntt(20, TARGET_NTT20_WALL),
+        lambda: bench_ntt(24, TARGET_NTT24_WALL),
+        bench_lde,
+        bench_stark_prove,
+    ]
+    if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
+        return 0
+    for fn in secondaries:
+        try:
+            fn()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

@@ -593,6 +593,11 @@ class DexRunResult:
     final_vaults: Dict[int, L2VaultState]
     final_orders: Dict[int, int]
     roots: Dict[str, int]
+    # GPS page structure: volition (onchain) data split into pages hanging
+    # off the main-output leaf (dex main splits its output the same way as
+    # perpetual main.cairo:146-187).
+    pages: Optional[List[List[int]]] = None
+    fact_topology: Optional["FactTopology"] = None  # noqa: F821
 
 
 def collect_signature_obligations(txs, hash_function=fast_pedersen_hash):
@@ -702,11 +707,16 @@ def run_dex_program(program_input: DexProgramInput) -> DexRunResult:
         len(outputs.l1_order_messages),
     ]
 
+    from stark_perpetual_tpu.models.gps_output import build_fact_topology, split_pages
+
+    da_pages = split_pages(volition, 3072) if volition else None
     return DexRunResult(
         dex_output=dex_output,
         outputs=outputs,
         l1_vault_outputs=l1_outputs,
         volition_data=volition,
+        pages=da_pages,
+        fact_topology=build_fact_topology(dex_output, da_pages),
         final_vaults=state.vaults,
         final_orders=state.orders,
         roots=dict(

@@ -303,6 +303,10 @@ class CarriedState:
     system_time: int
     position_journal: Dict[int, Tuple[Position, Position]] = field(default_factory=dict)
     order_journal: Dict[int, Tuple[int, int]] = field(default_factory=dict)
+    # Per-access logs (execution order), consumed by the arithmetization
+    # AIRs (fulfillment_air.py): unlike the squashed journals these keep
+    # every access.
+    order_access_log: list = field(default_factory=list)
 
     def get_position(self, position_id: int) -> Position:
         proof_assert(0 <= position_id)

@@ -239,6 +239,14 @@ def serialize_availability_data(
     return words
 
 
+# GPS fact topology (main.cairo:146-187): shared with the DEX program.
+from stark_perpetual_tpu.models.gps_output import (  # noqa: E402
+    FactTopology,
+    build_fact_topology,
+    fact_tree_root,
+)
+
+
 @dataclass
 class ProgramRunResult:
     new_shared_state: SharedState
@@ -248,6 +256,10 @@ class ProgramRunResult:
     pages: Optional[List[List[int]]]
     final_positions: Dict[int, Position] = None
     final_orders: Dict[int, int] = None
+    fact_topology: Optional[FactTopology] = None
+    # Per-access logs for the arithmetization AIRs (execution order).
+    order_access_log: list = None
+    order_journal: Dict[int, Tuple[int, int]] = None
 
 
 def run_program(
@@ -311,4 +323,7 @@ def run_program(
         pages=pages,
         final_positions=dict(state.positions),
         final_orders=dict(state.orders),
+        fact_topology=build_fact_topology(program_output, pages),
+        order_access_log=list(state.order_access_log),
+        order_journal=dict(state.order_journal),
     )

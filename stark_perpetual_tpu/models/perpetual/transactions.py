@@ -307,6 +307,16 @@ def update_order_fulfillment(
         )
         raise BatchProofError(code, "order over-fulfillment")
     proof_assert(full_amount <= AMOUNT_UPPER_BOUND - 1, ErrorCode.OUT_OF_RANGE_AMOUNT)
+    from stark_perpetual_tpu.models.perpetual.fulfillment_air import FulfillmentAccess
+
+    state.order_access_log.append(
+        FulfillmentAccess(
+            order_id=order_id,
+            update_amount=update_amount,
+            full_amount=full_amount,
+            message_hash=message_hash,
+        )
+    )
     state.write_order(order_id, fulfilled, fulfilled + update_amount)
 
 

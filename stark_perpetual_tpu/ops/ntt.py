@@ -48,7 +48,12 @@ def _bitrev_perm(n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(n: int, inverse: bool) -> tuple:
-    """Montgomery-form twiddle tables for each butterfly stage of size-n NTT."""
+    """Montgomery-form twiddle tables for each butterfly stage of size-n NTT.
+
+    Device-resident arrays passed to the jitted transform as ARGUMENTS, not
+    baked as graph constants: for a 2^24 transform the tables total ~1.4 GB,
+    which as inline constants makes XLA compilation explode.
+    """
     f = stark_prime_field()
     tables = []
     m = 1
@@ -56,17 +61,28 @@ def _stage_twiddles(n: int, inverse: bool) -> tuple:
         w = root_of_unity(2 * m)
         if inverse:
             w = pow(w, 2 * m - 1, FIELD_PRIME)  # w^-1
-        tw = [pow(w, j, FIELD_PRIME) for j in range(m)]
-        tables.append(jnp.asarray(pack_ints([(t << 252) % FIELD_PRIME for t in tw])))
+        tw = [1]
+        for _ in range(m - 1):
+            tw.append(tw[-1] * w % FIELD_PRIME)
+        tables.append(
+            jax.device_put(jnp.asarray(pack_ints([(t << 252) % FIELD_PRIME for t in tw])))
+        )
         m *= 2
     return tuple(tables)
 
 
-def _ntt_mont(x: jnp.ndarray, n: int, inverse: bool, f: Field) -> jnp.ndarray:
+@functools.lru_cache(maxsize=None)
+def _bitrev_dev(n: int) -> jnp.ndarray:
+    return jax.device_put(jnp.asarray(_bitrev_perm(n)))
+
+
+def _ntt_mont(
+    x: jnp.ndarray, n: int, inverse: bool, f: Field, perm: jnp.ndarray, tables
+) -> jnp.ndarray:
     """Core transform; x: (..., n, 21) Montgomery-domain values (batched)."""
     batch = x.shape[:-2]
-    x = jnp.take(x, jnp.asarray(_bitrev_perm(n)), axis=-2)
-    for stage, tw in enumerate(_stage_twiddles(n, inverse)):
+    x = jnp.take(x, perm, axis=-2)
+    for stage, tw in enumerate(tables):
         m = 1 << stage
         blocks = x.reshape(*batch, n // (2 * m), 2, m, N_LIMBS)
         even = blocks[..., 0, :, :]
@@ -89,25 +105,50 @@ class NttOps:
 
     @functools.lru_cache(maxsize=None)
     def _jit_for(self, n: int, inverse: bool, domain: str):
-        _ = _stage_twiddles(n, inverse)  # build tables eagerly
-
-        def impl(x):
+        def impl(x, perm, *tables):
             f = self.f
             if domain == "std":
                 x = f.to_mont(x)
-            y = _ntt_mont(x, n, inverse, f)
+            y = _ntt_mont(x, n, inverse, f, perm, tables)
             if domain == "std":
                 y = f.from_mont(y)
             return y
 
         return jax.jit(impl)
 
+    def _run(self, x: jnp.ndarray, n: int, inverse: bool, domain: str) -> jnp.ndarray:
+        return self._jit_for(n, inverse, domain)(
+            x, _bitrev_dev(n), *_stage_twiddles(n, inverse)
+        )
+
     def ntt(self, x: jnp.ndarray, inverse: bool = False, mont: bool = False) -> jnp.ndarray:
         """(..., n, 21) limb array -> NTT (or inverse) over the trailing
         transform axis; leading axes are batch. n must be a power of two."""
         n = x.shape[-2]
         assert n & (n - 1) == 0
-        return self._jit_for(n, inverse, "mont" if mont else "std")(x)
+        return self._run(x, n, inverse, "mont" if mont else "std")
+
+    @functools.lru_cache(maxsize=None)
+    def _jit_lde_scale(self, n: int, big: int):
+        def impl(coeffs, scale_m):
+            f = self.f
+            cm = f.to_mont(coeffs)
+            cm = f.mont_mul(cm, jnp.broadcast_to(scale_m, cm.shape))
+            return jnp.concatenate(
+                [cm, jnp.zeros(cm.shape[:-2] + (big - n, N_LIMBS), dtype=jnp.int32)],
+                axis=-2,
+            )
+
+        return jax.jit(impl)
+
+    @functools.lru_cache(maxsize=None)
+    def _lde_scales(self, n: int, shift: int) -> jnp.ndarray:
+        scales = []
+        acc = 1
+        for _ in range(n):
+            scales.append((acc << 252) % FIELD_PRIME)
+            acc = acc * shift % FIELD_PRIME
+        return jax.device_put(jnp.asarray(pack_ints(scales)))
 
     def lde(self, coeffs: jnp.ndarray, blowup: int, shift: Optional[int] = None) -> jnp.ndarray:
         """Low-degree extension: evaluate the polynomial with `coeffs` on the
@@ -119,21 +160,9 @@ class NttOps:
         assert big & (big - 1) == 0
         if shift is None:
             shift = FIELD_GEN
-        # Scale coefficient i by shift^i (host-precomputed constants).
-        scales = []
-        acc = 1
-        for _ in range(n):
-            scales.append((acc << 252) % FIELD_PRIME)
-            acc = acc * shift % FIELD_PRIME
-        scale_m = jnp.asarray(pack_ints(scales))
         f = self.f
-        cm = f.to_mont(coeffs)
-        cm = f.mont_mul(cm, jnp.broadcast_to(scale_m, cm.shape))
-        padded = jnp.concatenate(
-            [cm, jnp.zeros(cm.shape[:-2] + (big - n, N_LIMBS), dtype=jnp.int32)],
-            axis=-2,
-        )
-        return f.from_mont(self._jit_for(big, False, "mont")(padded))
+        padded = self._jit_lde_scale(n, big)(coeffs, self._lde_scales(n, shift))
+        return f.from_mont(self._run(padded, big, False, "mont"))
 
 
 @functools.lru_cache(maxsize=1)

@@ -50,3 +50,63 @@ def test_deep_tree_roots_differ_by_position():
     a.update([(1 << 200, 5)])
     b.update([(1 << 100, 5)])
     assert a.root != b.root
+
+
+def test_batched_rounds_device_call_count(monkeypatch):
+    """A 2^10-leaf height-251 update must hash in per-round batches (one
+    device dispatch per topological round), not per node."""
+    import random
+    import time
+
+    import stark_perpetual_tpu.ops.patricia as P
+    from stark_perpetual_tpu.ops import pedersen as ped
+
+    rng = random.Random(42)
+    k = 1 << 10
+    leaves = [(rng.getrandbits(251), rng.getrandbits(200) + 1) for _ in range(k)]
+
+    calls = {"n": 0, "pairs": 0}
+    real = ped.pedersen_hash_ints
+
+    def counting(pairs):
+        calls["n"] += 1
+        calls["pairs"] += len(pairs)
+        return real(pairs)
+
+    monkeypatch.setattr(ped, "pedersen_hash_ints", counting)
+    t = P.PatriciaTree(251)
+    t0 = time.time()
+    root = t.update(leaves)
+    elapsed = time.time() - t0
+    assert root != 0
+    # ~2K hash obligations (K-1 binaries + ~K edges) in ~log2(K)+2 rounds.
+    assert calls["pairs"] >= 2 * k - 64
+    assert calls["n"] <= 40, f"{calls['n']} device dispatches for {k} leaves"
+    print(f"patricia 2^10 leaves: {calls['n']} dispatches, "
+          f"{calls['pairs']} hashes, {elapsed:.2f}s")
+
+
+def test_batched_root_matches_per_node_reference():
+    """Cross-check the round-batched hasher against a direct per-node walk."""
+    import random
+
+    from stark_perpetual_tpu.ops.patricia import _build
+
+    rng = random.Random(7)
+    leaves = [(rng.getrandbits(16), rng.getrandbits(100) + 1) for _ in range(50)]
+    height = 16
+
+    def slow_hash(node):
+        if node.kind == "value":
+            return node.hash
+        if node.kind == "binary":
+            return pedersen_hash(slow_hash(node.left), slow_hash(node.right))
+        return (pedersen_hash(slow_hash(node.bottom), node.path) + node.length) % FIELD_PRIME
+
+    dedup = {}
+    for i, v in leaves:
+        dedup[i] = v
+    items = sorted(dedup.items())
+    want = slow_hash(_build(height, items))
+    t = PatriciaTree(height)
+    assert t.update(leaves) == want

@@ -110,8 +110,7 @@ def make_order(owner: str, position_id, is_buying, amt_syn, amt_col, fee=0, nonc
     return replace(order, base=replace(base, signature_r=r, signature_s=s))
 
 
-@pytest.fixture(scope="module")
-def world():
+def build_world():
     config = make_config()
     t0 = 1_000_000
     ext_lo, ext_hi = 2900 * 10**18, 3100 * 10**18
@@ -154,6 +153,11 @@ def world():
             ),
         ),
     )
+
+
+@pytest.fixture(scope="module", name="world")
+def world_fixture():
+    return build_world()
 
 
 def run(world, txs, end_time=None):
