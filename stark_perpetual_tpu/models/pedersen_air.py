@@ -9,33 +9,42 @@ driven by the bit decomposition of the hashed elements.
 Layout (one *block* of 512 rows per hash, ``m`` hashes pooled into one
 trace of ``n = 512*m`` rows):
 
-  rows   0..250   consume bits 0..250 of element ``a`` with
-                  CONSTANT_POINTS[2+i]       (signature.py:227-235)
-  rows 251..254   padding (bit forced to 0)
+  rows   0..251   consume bits 0..251 of element ``a`` with
+                  CONSTANT_POINTS[2+i]
+  rows 252..254   padding (bit forced to 0; suffix pinned 0 at row 252)
   row       255   segment switch: point copies, suffix jumps to ``b``
-  rows 256..506   consume bits 0..250 of element ``b`` with
+  rows 256..507   consume bits 0..251 of element ``b`` with
                   CONSTANT_POINTS[254+i]
-  rows 507..510   padding
+  rows 508..510   padding
   row       511   hash reset: point is forced back to SHIFT_POINT for the
                   next block (the global last row's transition is excluded
                   by the vanishing polynomial)
 
 Trace columns: ``suffix`` (remaining scalar), ``px, py`` (partial sum),
-``s`` (chord slope), ``inv`` (inverse of ``px - qx``). The ``inv`` witness
+``s`` (chord slope), ``inv`` (inverse of ``px - qx``), and two carried
+flags ``hf``/``gf`` for the alias exclusion below. The ``inv`` witness
 proves ``px != qx`` on every non-selector row — the same per-step
 x-inequality whose violation makes the reference raise "Unhashable input"
 (signature.py:232).
 
 Public (uncommitted) columns, evaluated by the verifier itself:
-``qx, qy`` (constant-point tables), ``pad``, ``seg``, ``rst`` selectors.
+``qx, qy`` (constant-point tables) and the row selectors.
 
-Soundness of the bit decomposition: only 251 bits are consumed per
-element and the remaining suffix is pinned to zero, so the decomposed
-value is the unique integer < 2^251 — the field alias ``a + p >= 2^251``
-cannot be encoded. The cost is a completeness gap for inputs in
-[2^251, p), a sliver of measure ~2^-55 that the engine's range-checked
-values never occupy and chained hash outputs hit with negligible
-probability; the prover raises ``ValueError`` if an input lands there.
+Bit-decomposition soundness (alias exclusion). 252 bits are consumed per
+element, so a field element a < 2^252 - p would also have the encoding
+a + p; accepting it would prove a *different* hash for the same input.
+The flags kill every alias:
+  - ``hf`` is tied to bit 251 at row 251 and carried (constant) across the
+    element segment;
+  - ``gf`` is tied to bit 196 at row 196 and carried across rows 0..196;
+  - when hf = 1, bits 250..197 must be zero (p = 2^251 + 17*2^192 + 1, so
+    a canonical high value has at most 17*2^192 above the top bit);
+  - when hf = 1 and gf = 1 (bits 251 and 196 set, i.e. t >= 16 where
+    t = bits 196..192), bits 195..192 must be zero, capping t at 16.
+Representable values: [0, 2^251 + 17*2^192) = [0, p - 1) — every field
+element except p - 1 itself (a 2^-251 completeness point, vs the previous
+[2^251, p) sliver), and no integer >= p is encodable, so aliases cannot
+exist.
 """
 
 from typing import List, Sequence, Tuple
@@ -48,14 +57,15 @@ from stark_perpetual_tpu.utils.math_utils import div_mod, ec_add
 
 _BLOCK = 512
 _SEG = 256  # rows per element segment
-_NBITS = 251  # bits consumed per element (see soundness note above)
+_NBITS = 252  # bits consumed per element (see alias-exclusion note above)
+_MAX_INPUT = (1 << 251) + 17 * (1 << 192)  # representable: [0, p - 1)
 
 
 class PedersenBuiltinAir(Air):
     """AIR for ``m`` pooled Pedersen hashes h_j = H(a_j, b_j)."""
 
-    n_columns = 5  # suffix, px, py, s, inv
-    transition_degree = 3
+    n_columns = 7  # suffix, px, py, s, inv, hf, gf
+    transition_degree = 4  # sel * hf * gf * bit (the t-cap constraint)
 
     def __init__(self, inputs: Sequence[Tuple[int, int]], outputs: Sequence[int]):
         m = len(inputs)
@@ -74,21 +84,27 @@ class PedersenBuiltinAir(Air):
         py: List[int] = []
         sl: List[int] = []
         inv: List[int] = []
+        hf: List[int] = []
+        gf: List[int] = []
         p = FIELD_PRIME
         for a, b in self.inputs:
             point = SHIFT_POINT
             for el_idx, el in enumerate((a, b)):
-                if not 0 <= el < (1 << _NBITS):
+                if not 0 <= el < _MAX_INPUT:
                     raise ValueError(
-                        "PedersenBuiltinAir input outside [0, 2^251) "
-                        "(completeness sliver, see module docstring)"
+                        "PedersenBuiltinAir input p-1 is not encodable "
+                        "(see alias-exclusion note)"
                     )
                 base = 2 + el_idx * 252
+                hf_v = (el >> 251) & 1
+                gf_v = (el >> 196) & 1
                 x = el
                 for i in range(_SEG):
                     suffix.append(x)
                     px.append(point[0])
                     py.append(point[1])
+                    hf.append(hf_v)
+                    gf.append(gf_v)
                     bit = x & 1 if i < _NBITS else 0
                     qx_i = CONSTANT_POINTS[base + i][0] if i < _NBITS else 0
                     if i == _SEG - 1:
@@ -105,7 +121,7 @@ class PedersenBuiltinAir(Air):
                         sl.append(0)
                     if i < _NBITS:
                         x >>= 1
-        return [suffix, px, py, sl, inv]
+        return [suffix, px, py, sl, inv, hf, gf]
 
     # --- public columns ---------------------------------------------------
 
@@ -115,6 +131,12 @@ class PedersenBuiltinAir(Air):
         pad: List[int] = []
         seg: List[int] = []
         rst: List[int] = []
+        cp: List[int] = []  # hf carried (rows 0..250 of each segment)
+        cpg: List[int] = []  # gf carried (rows 0..195)
+        tie_hf: List[int] = []  # row 251: hf = bit
+        tie_gf: List[int] = []  # row 196: gf = bit
+        mid: List[int] = []  # rows 197..250: hf => bit = 0
+        low4: List[int] = []  # rows 192..195: hf & gf => bit = 0
         for _ in range(self.m):
             for el_idx in range(2):
                 base = 2 + el_idx * 252
@@ -129,14 +151,21 @@ class PedersenBuiltinAir(Air):
                     pad.append(1 if (_NBITS <= i < _SEG - 1) else 0)
                     seg.append(1 if (last and el_idx == 0) else 0)
                     rst.append(1 if (last and el_idx == 1) else 0)
-        return [qx, qy, pad, seg, rst]
+                    cp.append(1 if i <= 250 else 0)
+                    cpg.append(1 if i <= 195 else 0)
+                    tie_hf.append(1 if i == 251 else 0)
+                    tie_gf.append(1 if i == 196 else 0)
+                    mid.append(1 if 197 <= i <= 250 else 0)
+                    low4.append(1 if 192 <= i <= 195 else 0)
+        return [qx, qy, pad, seg, rst, cp, cpg, tie_hf, tie_gf, mid, low4]
 
     # --- constraints (device, Montgomery domain) --------------------------
 
     def eval_transitions(self, f, cur, nxt, pub):
-        suf, px, py, s, inv = cur
+        suf, px, py, s, inv, hf, gf = cur
         suf_n, px_n, py_n = nxt[0], nxt[1], nxt[2]
-        qx, qy, pad, seg, rst = pub
+        hf_n, gf_n = nxt[5], nxt[6]
+        qx, qy, pad, seg, rst, cp, cpg, tie_hf, tie_gf, mid, low4 = pub
 
         def const(v, like):
             return jnp.broadcast_to(jnp.asarray(f.pack((v << 252) % FIELD_PRIME)), like.shape)
@@ -162,18 +191,28 @@ class PedersenBuiltinAir(Air):
         c10 = mul(seg, f.sub(py_n, py))
         c11 = mul(rst, f.sub(px_n, shift_x))
         c12 = mul(rst, f.sub(py_n, shift_y))
-        return [c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12]
+        # Alias exclusion (see module docstring).
+        c13 = mul(cp, f.sub(hf_n, hf))
+        c14 = mul(tie_hf, f.sub(hf, b))
+        c15 = mul(cpg, f.sub(gf_n, gf))
+        c16 = mul(tie_gf, f.sub(gf, b))
+        c17 = mul(mid, mul(hf, b))
+        c18 = mul(low4, mul(hf, mul(gf, b)))
+        return [c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12,
+                c13, c14, c15, c16, c17, c18]
 
     # --- constraints (host ints, verifier) --------------------------------
 
     def transition_exprs_host(self, cur_vals, nxt_vals, pub_vals=()):
         p = FIELD_PRIME
-        suf, px, py, s, inv = cur_vals
+        suf, px, py, s, inv, hf, gf = cur_vals
         suf_n, px_n, py_n = nxt_vals[0], nxt_vals[1], nxt_vals[2]
+        hf_n, gf_n = nxt_vals[5], nxt_vals[6]
         if pub_vals:
-            qx, qy, pad, seg, rst = pub_vals
+            qx, qy, pad, seg, rst, cp, cpg, tie_hf, tie_gf, mid, low4 = pub_vals
         else:  # constraint-count probe from verify_stark
-            qx = qy = pad = seg = rst = 0
+            qx = qy = pad = seg = rst = cp = cpg = 0
+            tie_hf = tie_gf = mid = low4 = 0
         b = (suf - 2 * suf_n) % p
         ns = (1 - seg - rst) % p
         return [
@@ -189,6 +228,12 @@ class PedersenBuiltinAir(Air):
             seg * (py_n - py) % p,
             rst * (px_n - SHIFT_POINT[0]) % p,
             rst * (py_n - SHIFT_POINT[1]) % p,
+            cp * (hf_n - hf) % p,
+            tie_hf * (hf - b) % p,
+            cpg * (gf_n - gf) % p,
+            tie_gf * (gf - b) % p,
+            mid * (hf * b) % p,
+            low4 * (hf * gf * b) % p,
         ]
 
     # --- boundary ---------------------------------------------------------

@@ -424,30 +424,34 @@ def execute_liquidate(state, batch_config, outputs, crypto, tx: Liquidate) -> No
         collateral_delta = tx.actual_collateral
         synthetic_delta = -tx.actual_synthetic
 
+    from stark_perpetual_tpu.models.perpetual.position import record_position_accesses
+
     liquidated = state.get_position(tx.liquidated_position_id)
-    funded = position_apply_funding(liquidated, state.global_funding_indices)
+    with record_position_accesses() as records:
+        funded = position_apply_funding(liquidated, state.global_funding_indices)
 
-    tv, tr, code = position_get_status(funded, state.oracle_prices, config)
-    proof_assert(code == ErrorCode.SUCCESS, code)
-    proof_assert(tr > tv * FXP_32_ONE, ErrorCode.UNLIQUIDATABLE_POSITION)
+        tv, tr, code = position_get_status(funded, state.oracle_prices, config)
+        proof_assert(code == ErrorCode.SUCCESS, code)
+        proof_assert(tr > tv * FXP_32_ONE, ErrorCode.UNLIQUIDATABLE_POSITION)
 
-    initial_balance = funded.asset_balance(order.asset_id_synthetic)
-    if order.is_buying_synthetic == 0:
-        proof_assert(
-            0 <= synthetic_delta <= -initial_balance,
-            ErrorCode.ILLEGAL_POSITION_TRANSITION_ENLARGING_SYNTHETIC_HOLDINGS,
+        initial_balance = funded.asset_balance(order.asset_id_synthetic)
+        if order.is_buying_synthetic == 0:
+            proof_assert(
+                0 <= synthetic_delta <= -initial_balance,
+                ErrorCode.ILLEGAL_POSITION_TRANSITION_ENLARGING_SYNTHETIC_HOLDINGS,
+            )
+        else:
+            proof_assert(
+                0 <= -synthetic_delta <= initial_balance,
+                ErrorCode.ILLEGAL_POSITION_TRANSITION_ENLARGING_SYNTHETIC_HOLDINGS,
+            )
+
+        updated, _funded2, code = update_position(
+            funded, funded.public_key, collateral_delta, order.asset_id_synthetic,
+            synthetic_delta, state.global_funding_indices, state.oracle_prices, config,
         )
-    else:
-        proof_assert(
-            0 <= -synthetic_delta <= initial_balance,
-            ErrorCode.ILLEGAL_POSITION_TRANSITION_ENLARGING_SYNTHETIC_HOLDINGS,
-        )
-
-    updated, _funded2, code = update_position(
-        funded, funded.public_key, collateral_delta, order.asset_id_synthetic,
-        synthetic_delta, state.global_funding_indices, state.oracle_prices, config,
-    )
-    proof_assert(code == ErrorCode.SUCCESS, code)
+        proof_assert(code == ErrorCode.SUCCESS, code)
+    state.commit_position_accesses(tx.liquidated_position_id, records, True)
     state.write_position(tx.liquidated_position_id, liquidated, updated)
 
     execute_limit_order(
@@ -542,33 +546,44 @@ def execute_forced_trade(state, batch_config, outputs, crypto, tx: ForcedTrade) 
     proof_assert(0 <= tx.amount_synthetic < AMOUNT_UPPER_BOUND)
     proof_assert(tx.position_id_a != tx.position_id_b, ErrorCode.SAME_POSITION_ID)
 
+    from stark_perpetual_tpu.models.perpetual.position import record_position_accesses
+
     position_a = state.get_position(tx.position_id_a)
     position_b = state.get_position(tx.position_id_b)
 
     def try_to_trade(pos_buyer, pos_seller, key_buyer, key_seller):
-        upd_b, fun_b, code_a = update_position(
-            pos_buyer, key_buyer, -tx.amount_collateral, tx.synthetic_asset_id,
-            tx.amount_synthetic, state.global_funding_indices, state.oracle_prices, config,
-        )
-        upd_s, fun_s, code_b = update_position(
-            pos_seller, key_seller, tx.amount_collateral, tx.synthetic_asset_id,
-            -tx.amount_synthetic, state.global_funding_indices, state.oracle_prices, config,
-        )
+        with record_position_accesses() as rec_buyer:
+            upd_b, fun_b, code_a = update_position(
+                pos_buyer, key_buyer, -tx.amount_collateral, tx.synthetic_asset_id,
+                tx.amount_synthetic, state.global_funding_indices, state.oracle_prices, config,
+            )
+        with record_position_accesses() as rec_seller:
+            upd_s, fun_s, code_b = update_position(
+                pos_seller, key_seller, tx.amount_collateral, tx.synthetic_asset_id,
+                -tx.amount_synthetic, state.global_funding_indices, state.oracle_prices, config,
+            )
         if code_a == ErrorCode.SUCCESS and code_b == ErrorCode.SUCCESS:
-            return upd_b, upd_s, ErrorCode.SUCCESS
+            return upd_b, upd_s, ErrorCode.SUCCESS, rec_buyer, rec_seller
         code = code_b if code_a == ErrorCode.SUCCESS else code_a
-        return fun_b, fun_s, code
+        return fun_b, fun_s, code, rec_buyer, rec_seller
 
     if tx.is_party_a_buying_synthetic:
-        new_a, new_b, code = try_to_trade(position_a, position_b, tx.public_key_a, tx.public_key_b)
+        new_a, new_b, code, rec_a, rec_b = try_to_trade(
+            position_a, position_b, tx.public_key_a, tx.public_key_b
+        )
     else:
-        new_b, new_a, code = try_to_trade(position_b, position_a, tx.public_key_b, tx.public_key_a)
+        new_b, new_a, code, rec_b, rec_a = try_to_trade(
+            position_b, position_a, tx.public_key_b, tx.public_key_a
+        )
 
     if tx.is_valid:
         proof_assert(code == ErrorCode.SUCCESS, code)
     else:
         proof_assert(code != ErrorCode.SUCCESS, None, "false forced trade succeeded")
 
+    success = code == ErrorCode.SUCCESS
+    state.commit_position_accesses(tx.position_id_a, rec_a, success)
+    state.commit_position_accesses(tx.position_id_b, rec_b, success)
     state.write_position(tx.position_id_a, position_a, new_a)
     state.write_position(tx.position_id_b, position_b, new_b)
 

@@ -304,9 +304,23 @@ class CarriedState:
     position_journal: Dict[int, Tuple[Position, Position]] = field(default_factory=dict)
     order_journal: Dict[int, Tuple[int, int]] = field(default_factory=dict)
     # Per-access logs (execution order), consumed by the arithmetization
-    # AIRs (fulfillment_air.py): unlike the squashed journals these keep
-    # every access.
+    # AIRs (fulfillment_air.py, position_air.py): unlike the squashed
+    # journals these keep every access.
     order_access_log: list = field(default_factory=list)
+    position_access_log: list = field(default_factory=list)
+
+    def commit_position_accesses(self, position_id: int, records, success: bool) -> None:
+        """Append a position-mutation record stream to the batch log.
+
+        'fund' records always land (the dict write keeps the funded position
+        even on failure); 'upd' records land only on success.
+        """
+        for phase, kind, asset_id, prev, new, operand in records:
+            if phase == "upd" and not success:
+                continue
+            self.position_access_log.append(
+                (position_id, kind, asset_id, prev, new, operand)
+            )
 
     def get_position(self, position_id: int) -> Position:
         proof_assert(0 <= position_id)

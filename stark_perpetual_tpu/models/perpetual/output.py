@@ -260,6 +260,7 @@ class ProgramRunResult:
     # Per-access logs for the arithmetization AIRs (execution order).
     order_access_log: list = None
     order_journal: Dict[int, Tuple[int, int]] = None
+    position_access_log: list = None
 
 
 def run_program(
@@ -326,4 +327,5 @@ def run_program(
         fact_topology=build_fact_topology(program_output, pages),
         order_access_log=list(state.order_access_log),
         order_journal=dict(state.order_journal),
+        position_access_log=list(state.position_access_log),
     )

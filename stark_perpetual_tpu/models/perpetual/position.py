@@ -34,6 +34,39 @@ from stark_perpetual_tpu.models.perpetual.objects import (
 
 NO_SYNTHETIC_DELTA_ASSET_ID = -1
 
+# --- cell access recording (arithmetization witness) ------------------------
+#
+# When a recorder is active, the position mutators below emit one record per
+# state cell they touch; the PositionCellAir (position_air.py) turns the
+# batch's full record stream into a sorted-by-cell access log with
+# continuity/range constraints. Records are (phase, kind, asset_id, prev,
+# new, operand):
+#   phase 'fund' records always commit (the dict write keeps the funded
+#   position even on failure paths - update_position.cairo:251 semantics);
+#   phase 'upd' records commit only when the update succeeds.
+
+import contextlib
+
+_RECORDER: Optional[list] = None
+
+
+@contextlib.contextmanager
+def record_position_accesses():
+    """Collect (phase, kind, asset_id, prev, new, operand) records emitted
+    by position mutators in this context."""
+    global _RECORDER
+    saved = _RECORDER
+    _RECORDER = records = []
+    try:
+        yield records
+    finally:
+        _RECORDER = saved
+
+
+def _record(phase: str, kind: str, asset_id: int, prev: int, new: int, operand: int):
+    if _RECORDER is not None:
+        _RECORDER.append((phase, kind, asset_id, prev, new, operand))
+
 
 def check_request_public_key(position_public_key: int, request_public_key: int) -> ErrorCode:
     """position.cairo:60-77."""
@@ -61,13 +94,17 @@ def position_apply_funding(
     """
     collateral_fxp = position.collateral_balance * FXP_32_ONE
     new_assets = []
+    total_term = 0
     for asset in position.assets:
         g_idx = global_funding_indices.index_of(asset.asset_id)
         if g_idx is None:
             raise BatchProofError(None, f"funding index missing for asset {asset.asset_id:#x}")
         collateral_fxp -= (g_idx - asset.cached_funding_index) * asset.balance
+        total_term += (g_idx - asset.cached_funding_index) * asset.balance
+        _record("fund", "idx", asset.asset_id, asset.cached_funding_index, g_idx, g_idx)
         new_assets.append(replace(asset, cached_funding_index=g_idx))
     new_collateral = collateral_fxp >> 32  # floor division: funding never mints
+    _record("fund", "adj", 0, position.collateral_balance, new_collateral, total_term)
     proof_assert(
         -BALANCE_UPPER_BOUND <= new_collateral < BALANCE_UPPER_BOUND,
         None,
@@ -86,7 +123,13 @@ def position_add_collateral(position: Position, delta: int, public_key: int):
     new_position = replace(
         position, public_key=public_key, collateral_balance=position.collateral_balance + delta
     )
-    return new_position, check_valid_balance(new_position.collateral_balance)
+    code = check_valid_balance(new_position.collateral_balance)
+    if code == ErrorCode.SUCCESS and delta != 0:
+        _record(
+            "upd", "col", 0,
+            position.collateral_balance, new_position.collateral_balance, delta,
+        )
+    return new_position, code
 
 
 def position_add_asset(
@@ -129,6 +172,11 @@ def position_add_asset(
     if len(assets) == POSITION_MAX_SUPPORTED_N_ASSETS + 1:
         return position, ErrorCode.TOO_MANY_SYNTHETIC_ASSETS_IN_POSITION
 
+    if not found:
+        # Fresh asset: its funding-index cell is initialized to the global
+        # index (the balance cell starts from 0 via the delta record).
+        _record("upd", "idx", asset_id, 0, funding_index, funding_index)
+    _record("upd", "bal", asset_id, balance, new_balance, delta)
     return (
         replace(position, public_key=public_key, assets=tuple(assets)),
         ErrorCode.SUCCESS,

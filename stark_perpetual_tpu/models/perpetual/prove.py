@@ -1,27 +1,33 @@
-"""Staged arithmetization: STARK proofs for a perpetual batch's builtins.
+"""Staged arithmetization: STARK proofs for a perpetual batch.
 
 In the reference, a perpetual batch becomes one Cairo execution whose AIR
 is dominated by the builtins it invokes: the pedersen builtin for every
 message/leaf hash and the ecdsa builtin for every signature
 (src/services/perpetual/cairo/main.cairo:1 declares
-``%builtins output pedersen range_check ecdsa``). This module proves
-exactly those obligations for a batch run:
+``%builtins output pedersen range_check ecdsa``). This module proves, per
+batch run:
 
-- every 2-ary Pedersen invocation consumed while hashing the batch's
-  messages, pooled into one ``PedersenBuiltinAir`` trace;
+- every 2-ary Pedersen invocation (message chains, position leaves, every
+  Merkle node of the state-tree updates), pooled into one
+  ``PedersenBuiltinAir`` trace (``prove_batch_commitments``);
 - every signature verification, as mimic-ladder blocks in one
-  ``EcdsaVerifyStark`` proof.
+  ``EcdsaVerifyStark`` proof;
+- the order-fulfillment bookkeeping (order.cairo:79-127) as a
+  ``FulfillmentAir`` access-log proof;
+- the position balance/funding cell updates (position.cairo,
+  add_asset.cairo, funding.cairo) as a ``PositionCellAir`` access-log
+  proof (``prove_batch_execution`` bundles all four).
 
-``prove_batch_commitments`` extends the pool to the *full* run: the
-batch's state-tree updates (Merkle node hashes, position leaf hashes —
-the work of merkle_multi_update at state/state.cairo:155-173) are
-recorded through the global ``pedersen_call_log`` funnel and proven in
-the same pooled pedersen trace. The register-level trace of the
-remaining business logic (dict squash, arithmetic) is the documented
-round-2 gap in PARITY.md.
+v1 public-input model: the access schedules and the builtin claims are
+public inputs bound into each proof's transcript; the host-side verifier
+glue cross-links them (every fulfillment message hash must be a verified
+signature claim; the cell finals must match the final positions whose leaf
+hashes feed the committed tree update). Replacing that host glue with an
+in-proof multiset bus across the traces is the documented next stage.
 """
 
-from typing import Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 from stark_perpetual_tpu.models.builtin_prover import (
     BatchBuiltinProofs,
@@ -121,3 +127,149 @@ def prove_batch_commitments(
         )
     proofs = prove_builtin_obligations(calls, items, blowup=blowup, n_queries=n_queries)
     return proofs, result
+
+
+# --- full batch execution proof ---------------------------------------------
+
+
+@dataclass
+class BatchExecutionProofs:
+    """Builtin pools + the business-logic access-log proofs of one batch."""
+
+    builtins: BatchBuiltinProofs
+    fulfillment_accesses: list
+    fulfillment_initial: dict
+    fulfillment_final: dict
+    fulfillment_proof: Optional[object]
+    position_accesses: list
+    position_initial: dict
+    position_final: dict
+    position_proof: Optional[object]
+
+
+def prove_batch_execution(
+    program_input,
+    blowup: int = 4,
+    n_queries: int = 16,
+    prove: bool = True,
+    prove_builtins: Optional[bool] = None,
+) -> Tuple[BatchExecutionProofs, "object"]:
+    """Run the FULL batch program and prove its obligations end to end:
+    the pooled pedersen/ecdsa builtins plus the fulfillment-dict and
+    position-cell access logs. Returns (proofs, run_result).
+
+    prove_builtins=False collects/cross-checks the builtin pools without
+    building their (heavyweight) STARKs - used by tests that target the
+    business-logic AIRs.
+    """
+    if prove_builtins is None:
+        prove_builtins = prove
+    from stark_perpetual_tpu.models.air import StarkProver
+    from stark_perpetual_tpu.models.perpetual.fulfillment_air import FulfillmentAir
+    from stark_perpetual_tpu.models.perpetual.position_air import (
+        PositionCellAir,
+        accesses_from_log,
+        initial_cells_from_positions,
+    )
+
+    builtin_proofs, result = prove_batch_commitments(
+        program_input, blowup=blowup, n_queries=n_queries, prove=prove_builtins
+    )
+
+    # v1 cross-link (host glue): every fulfillment access must ride on a
+    # verified signature claim of the ECDSA pool.
+    claimed_hashes = {msg for msg, _r, _s, _pt in builtin_proofs.ecdsa_items}
+    for access in result.order_access_log:
+        assert access.message_hash in claimed_hashes, (
+            "fulfillment access without a signature claim"
+        )
+
+    ful_initial = dict(program_input.orders or {})
+    ful_final = {oid: new for oid, (_p, new) in result.order_journal.items()}
+    ful_proof = None
+    ful_air = None
+    if result.order_access_log:
+        ful_air = FulfillmentAir(
+            result.order_access_log, ful_initial, ful_final
+        )
+
+    pos_accesses = accesses_from_log(result.position_access_log)
+    pos_initial = initial_cells_from_positions(program_input.positions or {})
+    pos_air = PositionCellAir(pos_accesses, pos_initial) if pos_accesses else None
+    pos_final = dict(pos_air.final) if pos_air else {}
+    # v1 cross-link: the balance-cell finals must agree with the final
+    # positions (whose leaf hashes are inside the pooled pedersen trace).
+    # Index cells of removed assets legitimately keep stale values: a
+    # removed asset has no leaf contribution.
+    from stark_perpetual_tpu.models.perpetual.position_air import TAG_INDEX
+
+    finals_from_positions = initial_cells_from_positions(result.final_positions)
+    for cell, value in pos_final.items():
+        if cell in finals_from_positions:
+            assert finals_from_positions[cell] == value, cell
+        elif cell[1] != TAG_INDEX:
+            assert value == 0, cell
+
+    if prove:
+        import jax
+
+        if ful_air is not None:
+            jax.clear_caches()
+            ful_proof = StarkProver(ful_air, blowup=blowup, n_queries=n_queries).prove(
+                ful_air.trace()
+            )
+        if pos_air is not None:
+            jax.clear_caches()
+            pos_proof = StarkProver(pos_air, blowup=blowup, n_queries=n_queries).prove(
+                pos_air.trace()
+            )
+        else:
+            pos_proof = None
+    else:
+        pos_proof = None
+
+    return (
+        BatchExecutionProofs(
+            builtins=builtin_proofs,
+            fulfillment_accesses=list(result.order_access_log),
+            fulfillment_initial=ful_initial,
+            fulfillment_final=ful_final,
+            fulfillment_proof=ful_proof,
+            position_accesses=pos_accesses,
+            position_initial=pos_initial,
+            position_final=pos_final,
+            position_proof=pos_proof,
+        ),
+        result,
+    )
+
+
+def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
+    """Re-derive every AIR from the public schedules and check all proofs."""
+    from stark_perpetual_tpu.models.air import verify_stark
+    from stark_perpetual_tpu.models.perpetual.fulfillment_air import FulfillmentAir
+    from stark_perpetual_tpu.models.perpetual.position_air import PositionCellAir
+
+    if not verify_batch_builtins(proofs.builtins):
+        return False
+    claimed_hashes = {msg for msg, _r, _s, _pt in proofs.builtins.ecdsa_items}
+    for access in proofs.fulfillment_accesses:
+        if access.message_hash not in claimed_hashes:
+            return False
+    if proofs.fulfillment_proof is not None:
+        air = FulfillmentAir(
+            proofs.fulfillment_accesses,
+            proofs.fulfillment_initial,
+            proofs.fulfillment_final,
+        )
+        if not verify_stark(air, proofs.fulfillment_proof):
+            return False
+    if proofs.position_proof is not None:
+        air = PositionCellAir(
+            proofs.position_accesses,
+            proofs.position_initial,
+            proofs.position_final,
+        )
+        if not verify_stark(air, proofs.position_proof):
+            return False
+    return True

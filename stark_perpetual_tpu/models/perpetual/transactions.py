@@ -357,17 +357,21 @@ def update_position_in_dict(
 ):
     """position/update_position.cairo:229-279: always writes the update."""
     proof_assert(0 <= position_id < (1 << config.positions_tree_height))
+    from stark_perpetual_tpu.models.perpetual.position import record_position_accesses
+
     initial = state.get_position(position_id)
-    updated, funded, code = update_position(
-        position=initial,
-        request_public_key=request_public_key,
-        collateral_delta=collateral_delta,
-        synthetic_asset_id=synthetic_asset_id,
-        synthetic_delta=synthetic_delta,
-        global_funding_indices=state.global_funding_indices,
-        oracle_prices=state.oracle_prices,
-        config=config,
-    )
+    with record_position_accesses() as records:
+        updated, funded, code = update_position(
+            position=initial,
+            request_public_key=request_public_key,
+            collateral_delta=collateral_delta,
+            synthetic_asset_id=synthetic_asset_id,
+            synthetic_delta=synthetic_delta,
+            global_funding_indices=state.global_funding_indices,
+            oracle_prices=state.oracle_prices,
+            config=config,
+        )
+    state.commit_position_accesses(position_id, records, code == ErrorCode.SUCCESS)
     state.write_position(position_id, initial, updated)
     return funded, updated, code
 

@@ -47,12 +47,11 @@ def _bitrev_perm(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_twiddles(n: int, inverse: bool) -> tuple:
-    """Montgomery-form twiddle tables for each butterfly stage of size-n NTT.
+def _stage_twiddles_host(n: int, inverse: bool) -> tuple:
+    """Host (numpy) Montgomery twiddle tables per butterfly stage.
 
-    Device-resident arrays passed to the jitted transform as ARGUMENTS, not
-    baked as graph constants: for a 2^24 transform the tables total ~1.4 GB,
-    which as inline constants makes XLA compilation explode.
+    Used as closure constants by the sharded NTT (small local sizes); the
+    single-device path wraps them with _stage_twiddles below.
     """
     f = stark_prime_field()
     tables = []
@@ -64,11 +63,20 @@ def _stage_twiddles(n: int, inverse: bool) -> tuple:
         tw = [1]
         for _ in range(m - 1):
             tw.append(tw[-1] * w % FIELD_PRIME)
-        tables.append(
-            jax.device_put(jnp.asarray(pack_ints([(t << 252) % FIELD_PRIME for t in tw])))
-        )
+        tables.append(pack_ints([(t << 252) % FIELD_PRIME for t in tw]))
         m *= 2
     return tuple(tables)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(n: int, inverse: bool) -> tuple:
+    """Device-resident twiddle tables passed to the jitted transform as
+    ARGUMENTS, not baked as graph constants: for a 2^24 transform the tables
+    total ~1.4 GB, which as inline constants makes XLA compilation explode.
+    """
+    return tuple(
+        jax.device_put(jnp.asarray(t)) for t in _stage_twiddles_host(n, inverse)
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -103,6 +111,11 @@ class NttOps:
     def __init__(self):
         self.f = stark_prime_field()
 
+    # Above this size the monolithic radix-2 graph's temporaries exceed a
+    # single chip's HBM; the four-step (sqrt decomposition + transpose)
+    # keeps every inner transform small.
+    FOUR_STEP_THRESHOLD = 1 << 23
+
     @functools.lru_cache(maxsize=None)
     def _jit_for(self, n: int, inverse: bool, domain: str):
         def impl(x, perm, *tables):
@@ -116,7 +129,55 @@ class NttOps:
 
         return jax.jit(impl)
 
+    @functools.lru_cache(maxsize=None)
+    def _jit_four_step(self, n: int, r_total: int, c_total: int, inverse: bool, domain: str):
+        f = self.f
+        n_tc = c_total.bit_length() - 1
+
+        def impl(x, tw_bases, perm_c, perm_r, *tables):
+            tc, tr = tables[:n_tc], tables[n_tc:]
+            if domain == "std":
+                x = f.to_mont(x)
+            a = x.reshape(c_total, r_total, N_LIMBS).swapaxes(0, 1)  # A[r, c]
+            b = _ntt_mont(a, c_total, inverse, f, perm_c, tc)
+            # Twiddle w_N^{r*s} = (w_N^{+-r})^s: geometric along s per row.
+            one_m = jnp.asarray(f.pack((1 << 252) % FIELD_PRIME))
+            base = jnp.broadcast_to(tw_bases[:, None, :], (r_total, c_total, N_LIMBS))
+            prefix = jax.lax.associative_scan(f.mont_mul, base, axis=1)
+            ones = jnp.broadcast_to(one_m, (r_total, 1, N_LIMBS))
+            tw_full = jnp.concatenate([ones, prefix[:, :-1]], axis=1)
+            b = f.mont_mul(b, tw_full)
+            y = _ntt_mont(b.swapaxes(0, 1), r_total, inverse, f, perm_r, tr)  # (C, R)
+            out = y.swapaxes(0, 1).reshape(n, N_LIMBS)  # X[q*C + s] = y[s, q]
+            if domain == "std":
+                out = f.from_mont(out)
+            return out
+
+        return jax.jit(impl)
+
+    @functools.lru_cache(maxsize=None)
+    def _four_step_tw_bases(self, n: int, r_total: int, inverse: bool) -> jnp.ndarray:
+        w = root_of_unity(n)
+        if inverse:
+            w = pow(w, n - 1, FIELD_PRIME)
+        vals = [1]
+        for _ in range(r_total - 1):
+            vals.append(vals[-1] * w % FIELD_PRIME)
+        return jax.device_put(
+            jnp.asarray(pack_ints([(v << 252) % FIELD_PRIME for v in vals]))
+        )
+
     def _run(self, x: jnp.ndarray, n: int, inverse: bool, domain: str) -> jnp.ndarray:
+        if n >= self.FOUR_STEP_THRESHOLD and x.ndim == 2:
+            r_total = 1 << (n.bit_length() // 2)
+            c_total = n // r_total
+            return self._jit_four_step(n, r_total, c_total, inverse, domain)(
+                x,
+                self._four_step_tw_bases(n, r_total, inverse),
+                _bitrev_dev(c_total),
+                _bitrev_dev(r_total),
+                *(_stage_twiddles(c_total, inverse) + _stage_twiddles(r_total, inverse)),
+            )
         return self._jit_for(n, inverse, domain)(
             x, _bitrev_dev(n), *_stage_twiddles(n, inverse)
         )

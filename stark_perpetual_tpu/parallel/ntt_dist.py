@@ -22,7 +22,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from stark_perpetual_tpu.ops.field import N_LIMBS, pack_ints, stark_prime_field
-from stark_perpetual_tpu.ops.ntt import _ntt_mont, root_of_unity
+from stark_perpetual_tpu.ops.ntt import (
+    _bitrev_perm,
+    _ntt_mont,
+    _stage_twiddles_host,
+    root_of_unity,
+)
 from stark_perpetual_tpu.params import FIELD_PRIME
 
 
@@ -60,7 +65,12 @@ def make_dist_ntt(mesh: Mesh, n: int, axis: str = "sp", r_total: int = None):
 
     def local(x_rows, tw_rows):
         # x_rows: (r_local, C, 21) Montgomery; tw_rows: (r_local, 21).
-        b = _ntt_mont(x_rows, c_total, False, f)  # row NTTs
+        # Host-array twiddles/permutation: traced as (small) closure
+        # constants, safe inside shard_map.
+        b = _ntt_mont(
+            x_rows, c_total, False, f,
+            jnp.asarray(_bitrev_perm(c_total)), _stage_twiddles_host(c_total, False),
+        )  # row NTTs
         # Twiddle w_N^{r s} = (w_N^r)^s: prefix products along s.
         base = jnp.broadcast_to(tw_rows[:, None, :], (r_local, c_total, N_LIMBS))
         ones = jnp.broadcast_to(one_m, (r_local, 1, N_LIMBS))
@@ -71,7 +81,10 @@ def make_dist_ntt(mesh: Mesh, n: int, axis: str = "sp", r_total: int = None):
         # (r_local, C, L) -> all_to_all -> (R, C/d, L) -> local transpose.
         b = jax.lax.all_to_all(b, axis, split_axis=1, concat_axis=0, tiled=True)
         y = jnp.swapaxes(b, 0, 1)  # (C/d, R, L)
-        y = _ntt_mont(y, r_total, False, f)  # column NTTs, now local rows
+        y = _ntt_mont(
+            y, r_total, False, f,
+            jnp.asarray(_bitrev_perm(r_total)), _stage_twiddles_host(r_total, False),
+        )  # column NTTs, now local rows
         return y
 
     def fn(x):

@@ -16,7 +16,10 @@ from stark_perpetual_tpu.models.perpetual.prove import (
 
 from test_perpetual_engine import world  # fixture reuse  # noqa: F401
 
-pytestmark = pytest.mark.usefixtures("no_compile_cache")
+pytestmark = [
+    pytest.mark.usefixtures("no_compile_cache"),
+    pytest.mark.slow,  # full-size builtin-pool STARKs (nightly / CI_FULL=1)
+]
 
 
 @pytest.fixture(scope="module")

@@ -17,7 +17,10 @@ from stark_perpetual_tpu.ops.pedersen import pedersen_call_log
 
 from test_perpetual_engine import world  # fixture reuse  # noqa: F401
 
-pytestmark = pytest.mark.usefixtures("no_compile_cache")
+pytestmark = [
+    pytest.mark.usefixtures("no_compile_cache"),
+    pytest.mark.slow,  # full-size builtin-pool STARKs (nightly / CI_FULL=1)
+]
 
 
 def test_call_log_captures_tree_hashes():

@@ -6,7 +6,10 @@ from stark_perpetual_tpu.crypto.signature import private_to_stark_key, sign
 from stark_perpetual_tpu.models.dex.engine import OrderBase, Transfer, transfer_message
 from stark_perpetual_tpu.models.dex.prove import prove_dex_builtins, verify_batch_builtins
 
-pytestmark = pytest.mark.usefixtures("no_compile_cache")
+pytestmark = [
+    pytest.mark.usefixtures("no_compile_cache"),
+    pytest.mark.slow,  # full-size builtin-pool STARKs (nightly / CI_FULL=1)
+]
 
 
 def _signed_transfer():
