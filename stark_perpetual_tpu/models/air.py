@@ -95,6 +95,17 @@ class Air:
     ) -> List[List[int]]:
         return []
 
+    # Derived challenges: values both sides compute from the drawn
+    # challenges plus the PUBLIC inputs (e.g. the logUp sum of a public
+    # lookup table at the drawn point). They ride the challenge vector into
+    # the constraints, so a lookup argument can close against a public
+    # table without the prover exposing (and the transcript re-absorbing)
+    # any extra value: the verifier recomputes them itself.
+    n_derived_challenges: int = 0
+
+    def derived_challenges(self, challenges: List[int]) -> List[int]:
+        return []
+
     def transition_divisors(self):
         """Per-constraint divisor tags, or None for all-'trans'.
 
@@ -323,8 +334,11 @@ class StarkProver:
         channel.absorb(trace_root)
 
         # 2b. Interaction phase: draw randomness, build + commit the second
-        # trace (grand-product/permutation columns).
+        # trace (grand-product/permutation columns). Derived challenges are
+        # deterministic functions of the drawn ones + public inputs, so they
+        # need no transcript absorption of their own.
         challenges = [channel.challenge() for _ in range(air.n_interaction_challenges)]
+        challenges = challenges + list(air.derived_challenges(challenges))
         inter_lde_ints: List[List[int]] = []
         inter_levels = None
         inter_root = 0
@@ -683,6 +697,7 @@ def verify_stark(
     )
     channel.absorb(proof.trace_root)
     challenges = [channel.challenge() for _ in range(air.n_interaction_challenges)]
+    challenges = challenges + list(air.derived_challenges(challenges))
     if air.n_interaction_columns:
         if proof.inter_openings is None or len(proof.inter_openings) != n_q:
             return False

@@ -236,6 +236,17 @@ class DexCarriedState:
         self.l1_balances: Dict[Tuple[int, int, int], int] = dict(l1_vault_min_balances)
         self.l1_min_balances = dict(l1_vault_min_balances)
         self.l1_journal_order: List[Tuple[int, int, int]] = []
+        # Execution-ordered access logs feeding the business-logic AIRs
+        # (models/dex/vault_air.py, prove.py): every vault-cell mutation and
+        # every order-fulfillment update, the DEX analog of the perpetual
+        # engine's position/order logs (objects.py:309-321).
+        # vault record: (space, cell_key, kind, stark_key, token_id, op1, op2)
+        #   space 'l2': cell_key = vault_id; kind 'diff' (op1 = delta) or
+        #   'set' (op1 = balance_before, op2 = balance_after).
+        #   space 'l1': cell_key = (eth_key, token_id, vault_index); 'diff'.
+        # order record: (order_id, update_amount, full_amount, signed)
+        self.vault_access_log: List[tuple] = []
+        self.order_access_log: List[tuple] = []
 
     def get_vault(self, vault_id: int) -> L2VaultState:
         return self.vaults.get(vault_id, EMPTY_VAULT)
@@ -260,6 +271,9 @@ class DexCarriedState:
             )
         balance_after = prev.balance + diff
         dex_assert(0 <= balance_after < BALANCE_BOUND, "vault balance out of range")
+        self.vault_access_log.append(
+            ("l2", vault_id, "diff", stark_key, token_id, diff, 0)
+        )
         self._write_vault(
             vault_id, prev, L2VaultState(stark_key, token_id, balance_after)
         )
@@ -272,6 +286,9 @@ class DexCarriedState:
         dex_assert(prev.balance == balance_before, "balance_before mismatch")
         if prev.balance != 0:
             dex_assert(prev.stark_key == stark_key and prev.token_id == token_id)
+        self.vault_access_log.append(
+            ("l2", vault_id, "set", stark_key, token_id, balance_before, balance_after)
+        )
         self._write_vault(
             vault_id, prev, L2VaultState(stark_key, token_id, balance_after)
         )
@@ -283,6 +300,7 @@ class DexCarriedState:
         dex_assert(0 <= before < BALANCE_BOUND)
         after = before + diff
         dex_assert(0 <= after < BALANCE_BOUND, "L1 vault balance out of range")
+        self.vault_access_log.append(("l1", key, "diff", eth_key, token_id, diff, 0))
         self.l1_balances[key] = after
         if key not in self.l1_journal_order:
             self.l1_journal_order.append(key)
@@ -372,6 +390,11 @@ def execute_limit_order(
         )
 
     dex_assert(order_id < ORDER_ID_BOUND)
+    # L2 orders ride a verified signature over order_id; L1 orders are
+    # authorized by the on-chain order message instead.
+    state.order_access_log.append(
+        (order_id, amount_sold, order.amount_sell, not order.is_l1)
+    )
     state.update_order(order_id, prev_fulfilled, new_fulfilled)
 
 
@@ -440,6 +463,8 @@ def execute_transfer(state, tx: Transfer, config_expiration, outputs, sig_flags)
     order_id = transfer_message(tx)
     dex_assert(order_id < ORDER_ID_BOUND)
     # Transfers must be fresh (prev fulfilled == 0) and fill completely.
+    # In the AIR the freshness is implied: update == full forces prev == 0.
+    state.order_access_log.append((order_id, tx.amount, tx.amount, True))
     state.update_order(order_id, 0, tx.amount)
     if tx.condition != 0:
         outputs.conditional_transfers.append(tx.condition)
@@ -484,6 +509,8 @@ def execute_mint(state, tx: Mint, config: DexGeneralConfig) -> None:
     )
     if config.unique_minting_enforced == 1:
         index = fast_pedersen_hash(MINT_TREE_INDEX_SALT, tx.token_id)
+        # update == full == 1 forces prev == 0 in the AIR: one mint per asset.
+        state.order_access_log.append((index, 1, 1, False))
         state.update_order(index, 0, 1)  # prev must be 0: one mint per asset
     state.l2_vault_update_diff(1, tx.stark_key, tx.token_id, tx.vault_id)
 
@@ -598,6 +625,12 @@ class DexRunResult:
     # perpetual main.cairo:146-187).
     pages: Optional[List[List[int]]] = None
     fact_topology: Optional["FactTopology"] = None  # noqa: F821
+    # Execution-ordered AIR feeds (see DexCarriedState) + squashed journals.
+    vault_access_log: Optional[List[tuple]] = None
+    order_access_log: Optional[List[tuple]] = None
+    order_journal: Optional[Dict[int, Tuple[int, int]]] = None
+    l1_min_balances: Optional[Dict[Tuple[int, int, int], int]] = None
+    l1_final_balances: Optional[Dict[Tuple[int, int, int], int]] = None
 
 
 def collect_signature_obligations(txs, hash_function=fast_pedersen_hash):
@@ -719,6 +752,11 @@ def run_dex_program(program_input: DexProgramInput) -> DexRunResult:
         fact_topology=build_fact_topology(dex_output, da_pages),
         final_vaults=state.vaults,
         final_orders=state.orders,
+        vault_access_log=list(state.vault_access_log),
+        order_access_log=list(state.order_access_log),
+        order_journal=dict(state.order_journal),
+        l1_min_balances=dict(state.l1_min_balances),
+        l1_final_balances=dict(state.l1_balances),
         roots=dict(
             initial_validium=init_val_root,
             final_validium=final_val_root,

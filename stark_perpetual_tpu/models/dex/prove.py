@@ -10,7 +10,8 @@ to the full program run: vault-leaf and Merkle/Patricia node hashes
 ``pedersen_call_log`` funnel.
 """
 
-from typing import Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 from stark_perpetual_tpu.models.builtin_prover import (
     BatchBuiltinProofs,
@@ -24,9 +25,12 @@ from stark_perpetual_tpu.ops.pedersen import pedersen_call_log
 
 __all__ = [
     "BatchBuiltinProofs",
+    "DexExecutionProofs",
     "prove_dex_builtins",
     "prove_dex_commitments",
+    "prove_dex_execution",
     "verify_batch_builtins",
+    "verify_dex_execution",
 ]
 
 
@@ -91,3 +95,193 @@ def prove_dex_commitments(
         )
     proofs = prove_builtin_obligations(calls, items, blowup=blowup, n_queries=n_queries)
     return proofs, result
+
+
+# --- full DEX batch execution proof ------------------------------------------
+
+
+@dataclass
+class DexExecutionProofs:
+    """Builtin pools + the business-logic access-log proofs of one DEX batch.
+
+    Mirrors the perpetual BatchExecutionProofs (models/perpetual/prove.py):
+    the order-fulfillment accounting (execute_limit_order.cairo:204-357,
+    transfers, unique minting) as a FulfillmentAir proof and the vault
+    accounting (vault_update.cairo, l1_vault_update.cairo) as a
+    DexVaultCellAir proof.
+    """
+
+    builtins: BatchBuiltinProofs
+    # Order-fulfillment public surface (bus AIR: the access schedule is
+    # witness). claims rows are (msg, order_id, full_amount, multiplicity);
+    # msg == 0 marks an unsigned authorization (L1 order message / unique-
+    # minting mark), anything else must ride the ECDSA pool.
+    order_journal: dict  # {order_id: (carried_in, final)}
+    order_claims: list
+    order_n_accesses: int
+    order_proof: Optional[object]
+    vault_accesses: list  # VaultAccess rows
+    vault_initial: dict
+    vault_final: dict
+    vault_proof: Optional[object]
+
+
+def _order_air_feed(result):
+    """Engine order log -> bus-AIR witness + public surface.
+
+    message_hash doubles as the ECDSA linkage key: for signed accesses
+    (L2 orders, transfers) the order id IS the signed message hash; L1
+    orders and unique-minting marks carry no signature (message_hash 0).
+    """
+    from stark_perpetual_tpu.models.perpetual.fulfillment_air import (
+        FulfillmentAccess,
+    )
+
+    accesses = [
+        FulfillmentAccess(oid, update, full, oid if signed else 0)
+        for oid, update, full, signed in result.order_access_log
+    ]
+    journal = {oid: (prev, new) for oid, (prev, new) in result.order_journal.items()}
+    counts: dict = {}
+    for a in accesses:
+        key = (a.message_hash, a.order_id, a.full_amount)
+        counts[key] = counts.get(key, 0) + 1
+    claims = [(msg, oid, ful, mu) for (msg, oid, ful), mu in sorted(counts.items())]
+    return accesses, journal, claims
+
+
+def prove_dex_execution(
+    program_input,
+    blowup: int = 4,
+    n_queries: int = 16,
+    prove: bool = True,
+    prove_builtins: Optional[bool] = None,
+) -> Tuple[DexExecutionProofs, "object"]:
+    """Run the FULL DEX program and prove its obligations end to end:
+    the pooled pedersen/ecdsa builtins plus the order-fulfillment and
+    vault-cell access logs. Returns (proofs, run_result).
+
+    prove_builtins=False collects/cross-checks the builtin pools without
+    building their (heavyweight) STARKs - used by tests that target the
+    business-logic AIRs.
+    """
+    if prove_builtins is None:
+        prove_builtins = prove
+    from stark_perpetual_tpu.models.air import StarkProver
+    from stark_perpetual_tpu.models.dex.vault_air import (
+        DexVaultCellAir,
+        accesses_from_log,
+        final_cells_from_state,
+        initial_cells_from_state,
+    )
+    from stark_perpetual_tpu.models.perpetual.fulfillment_air import (
+        FulfillmentBusAir,
+    )
+
+    builtin_proofs, result = prove_dex_commitments(
+        program_input, blowup=blowup, n_queries=n_queries, prove=prove_builtins
+    )
+
+    # Cross-link (public glue, re-checked by the verifier): every signed
+    # claim must ride on a verified signature of the ECDSA pool; the trace
+    # is bound to the claims table in-proof by the bus AIR's lookup.
+    claimed_hashes = {msg for msg, _r, _s, _pt in builtin_proofs.ecdsa_items}
+    ord_accesses, ord_journal, ord_claims = _order_air_feed(result)
+    for msg, _oid, _ful, _mu in ord_claims:
+        assert msg == 0 or msg in claimed_hashes, (
+            "signed order access without a signature claim"
+        )
+
+    ord_air = (
+        FulfillmentBusAir(ord_journal, ord_claims, len(ord_accesses))
+        if ord_accesses
+        else None
+    )
+
+    vlt_accesses = accesses_from_log(result.vault_access_log)
+    vlt_initial = initial_cells_from_state(
+        program_input.vaults, result.l1_min_balances
+    )
+    vlt_final = final_cells_from_state(result.final_vaults, result.l1_final_balances)
+    vlt_air = (
+        DexVaultCellAir(vlt_accesses, vlt_initial, vlt_final)
+        if vlt_accesses
+        else None
+    )
+    # v1 cross-link: the accessed cells' finals must agree with the final
+    # vault states (whose leaf hashes are inside the pooled pedersen trace).
+    if vlt_air is not None:
+        for cell, (b, k, t) in vlt_air._replay()[1].items():
+            # L2 canonicalization: an emptied vault drops key/token.
+            canon = (0, 0, 0) if (cell[0] == "l2" and b == 0) else (b, k, t)
+            assert vlt_final.get(cell, (0, 0, 0)) == canon, cell
+
+    ord_proof = vlt_proof = None
+    if prove:
+        import jax
+
+        if ord_air is not None:
+            jax.clear_caches()
+            ord_proof = StarkProver(ord_air, blowup=blowup, n_queries=n_queries).prove(
+                ord_air.trace(ord_accesses)
+            )
+        if vlt_air is not None:
+            jax.clear_caches()
+            vlt_proof = StarkProver(vlt_air, blowup=blowup, n_queries=n_queries).prove(
+                vlt_air.trace()
+            )
+
+    return (
+        DexExecutionProofs(
+            builtins=builtin_proofs,
+            order_journal=ord_journal,
+            order_claims=ord_claims,
+            order_n_accesses=len(ord_accesses),
+            order_proof=ord_proof,
+            vault_accesses=vlt_accesses,
+            vault_initial=vlt_initial,
+            vault_final=vlt_final,
+            vault_proof=vlt_proof,
+        ),
+        result,
+    )
+
+
+def verify_dex_execution(proofs: DexExecutionProofs) -> bool:
+    """Re-derive every AIR from the public inputs and check all proofs."""
+    from stark_perpetual_tpu.models.air import verify_stark
+    from stark_perpetual_tpu.models.dex.vault_air import DexVaultCellAir
+    from stark_perpetual_tpu.models.perpetual.fulfillment_air import (
+        AMOUNT_BOUND,
+        FulfillmentBusAir,
+    )
+
+    if not verify_batch_builtins(proofs.builtins):
+        return False
+    claimed_hashes = {msg for msg, _r, _s, _pt in proofs.builtins.ecdsa_items}
+    for msg, _oid, ful, mu in proofs.order_claims:
+        if msg != 0 and msg not in claimed_hashes:
+            return False
+        if not (0 <= ful < AMOUNT_BOUND and mu >= 0):
+            return False
+    for _oid, (v0, v1) in proofs.order_journal.items():
+        if not (0 <= v0 < AMOUNT_BOUND and 0 <= v1 < AMOUNT_BOUND):
+            return False
+    # Zero-balance canonicalization is a public property of the claimed
+    # finals (L2VaultState.canonical): an empty vault must drop key/token.
+    for cell, (b, k, t) in proofs.vault_final.items():
+        if cell[0] == "l2" and b == 0 and (k != 0 or t != 0):
+            return False
+    if proofs.order_proof is not None:
+        air = FulfillmentBusAir(
+            proofs.order_journal, proofs.order_claims, proofs.order_n_accesses
+        )
+        if not verify_stark(air, proofs.order_proof):
+            return False
+    if proofs.vault_proof is not None:
+        air = DexVaultCellAir(
+            proofs.vault_accesses, proofs.vault_initial, proofs.vault_final
+        )
+        if not verify_stark(air, proofs.vault_proof):
+            return False
+    return True

@@ -13,17 +13,20 @@ batch run:
 - every signature verification, as mimic-ladder blocks in one
   ``EcdsaVerifyStark`` proof;
 - the order-fulfillment bookkeeping (order.cairo:79-127) as a
-  ``FulfillmentAir`` access-log proof;
+  ``FulfillmentBusAir`` proof with a WITNESSED schedule: public inputs are
+  only the touched-order journal and the signed-claims table, and in-proof
+  logUp lookups bind every run boundary to the journal and every access to
+  a claim (fulfillment_air.py v2);
 - the position balance/funding cell updates (position.cairo,
   add_asset.cairo, funding.cairo) as a ``PositionCellAir`` access-log
   proof (``prove_batch_execution`` bundles all four).
 
-v1 public-input model: the access schedules and the builtin claims are
-public inputs bound into each proof's transcript; the host-side verifier
-glue cross-links them (every fulfillment message hash must be a verified
-signature claim; the cell finals must match the final positions whose leaf
-hashes feed the committed tree update). Replacing that host glue with an
-in-proof multiset bus across the traces is the documented next stage.
+Public-input model: the position AIR still binds its access schedule as
+public inputs cross-linked by verifier glue (its bus migration needs the
+funding-total term argument — the documented next stage); the fulfillment
+AIR's glue is now in-proof. The claims table's own integrity (each msg is
+an ECDSA-verified signature; (order_id, full_amount) match the signed
+message content) is checked against the pooled builtin proofs publicly.
 """
 
 from dataclasses import dataclass
@@ -132,14 +135,39 @@ def prove_batch_commitments(
 # --- full batch execution proof ---------------------------------------------
 
 
+def fulfillment_public_surface(result):
+    """(journal, claims) public inputs of the fulfillment bus AIR.
+
+    journal: {order_id: (carried_in_amount, final_amount)} for every
+    touched order (exactly what the orders-tree Merkle update consumes).
+    claims: [(msg, order_id, full_amount, multiplicity)] — one row per
+    distinct signed order message, multiplicity = number of fills.
+    """
+    journal = {oid: (prev, new) for oid, (prev, new) in result.order_journal.items()}
+    counts: dict = {}
+    for a in result.order_access_log:
+        key = (a.message_hash, a.order_id, a.full_amount)
+        counts[key] = counts.get(key, 0) + 1
+    claims = [(msg, oid, ful, mu) for (msg, oid, ful), mu in sorted(counts.items())]
+    return journal, claims
+
+
 @dataclass
 class BatchExecutionProofs:
-    """Builtin pools + the business-logic access-log proofs of one batch."""
+    """Builtin pools + the business-logic proofs of one batch.
+
+    Fulfillment accounting is proven by the v2 bus AIR (FulfillmentBusAir):
+    the access schedule is WITNESS; the public surface is the touched-order
+    journal {id: (carried_in, final)} and the claims table
+    [(msg, order_id, full_amount, multiplicity)] cross-linked to the ECDSA
+    pool. The position-cell AIR still uses the v1 public-schedule model
+    (its bus migration is the documented next stage).
+    """
 
     builtins: BatchBuiltinProofs
-    fulfillment_accesses: list
-    fulfillment_initial: dict
-    fulfillment_final: dict
+    fulfillment_journal: dict  # {order_id: (carried_in, final)}
+    fulfillment_claims: list  # [(msg, order_id, full_amount, multiplicity)]
+    fulfillment_n_accesses: int
     fulfillment_proof: Optional[object]
     position_accesses: list
     position_initial: dict
@@ -165,7 +193,9 @@ def prove_batch_execution(
     if prove_builtins is None:
         prove_builtins = prove
     from stark_perpetual_tpu.models.air import StarkProver
-    from stark_perpetual_tpu.models.perpetual.fulfillment_air import FulfillmentAir
+    from stark_perpetual_tpu.models.perpetual.fulfillment_air import (
+        FulfillmentBusAir,
+    )
     from stark_perpetual_tpu.models.perpetual.position_air import (
         PositionCellAir,
         accesses_from_log,
@@ -176,21 +206,22 @@ def prove_batch_execution(
         program_input, blowup=blowup, n_queries=n_queries, prove=prove_builtins
     )
 
-    # v1 cross-link (host glue): every fulfillment access must ride on a
-    # verified signature claim of the ECDSA pool.
+    # Claims table: one row per distinct signed order message with its fill
+    # multiplicity. Its msg column must ride the ECDSA pool (cross-checked
+    # here and by the verifier); the trace is bound to the table in-proof
+    # via the bus AIR's logUp lookup.
     claimed_hashes = {msg for msg, _r, _s, _pt in builtin_proofs.ecdsa_items}
-    for access in result.order_access_log:
-        assert access.message_hash in claimed_hashes, (
+    ful_journal, ful_claims = fulfillment_public_surface(result)
+    for msg, _oid, _ful, _mu in ful_claims:
+        assert msg in claimed_hashes, (
             "fulfillment access without a signature claim"
         )
 
-    ful_initial = dict(program_input.orders or {})
-    ful_final = {oid: new for oid, (_p, new) in result.order_journal.items()}
     ful_proof = None
     ful_air = None
     if result.order_access_log:
-        ful_air = FulfillmentAir(
-            result.order_access_log, ful_initial, ful_final
+        ful_air = FulfillmentBusAir(
+            ful_journal, ful_claims, len(result.order_access_log)
         )
 
     pos_accesses = accesses_from_log(result.position_access_log)
@@ -216,7 +247,7 @@ def prove_batch_execution(
         if ful_air is not None:
             jax.clear_caches()
             ful_proof = StarkProver(ful_air, blowup=blowup, n_queries=n_queries).prove(
-                ful_air.trace()
+                ful_air.trace(result.order_access_log)
             )
         if pos_air is not None:
             jax.clear_caches()
@@ -231,9 +262,9 @@ def prove_batch_execution(
     return (
         BatchExecutionProofs(
             builtins=builtin_proofs,
-            fulfillment_accesses=list(result.order_access_log),
-            fulfillment_initial=ful_initial,
-            fulfillment_final=ful_final,
+            fulfillment_journal=ful_journal,
+            fulfillment_claims=ful_claims,
+            fulfillment_n_accesses=len(result.order_access_log),
             fulfillment_proof=ful_proof,
             position_accesses=pos_accesses,
             position_initial=pos_initial,
@@ -245,22 +276,35 @@ def prove_batch_execution(
 
 
 def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
-    """Re-derive every AIR from the public schedules and check all proofs."""
+    """Re-derive every AIR from the public inputs and check all proofs.
+
+    The fulfillment verifier needs only the journal + claims table (the
+    access schedule is witness inside the proof); it cross-checks every
+    claimed message against the ECDSA pool's verified signatures.
+    """
     from stark_perpetual_tpu.models.air import verify_stark
-    from stark_perpetual_tpu.models.perpetual.fulfillment_air import FulfillmentAir
+    from stark_perpetual_tpu.models.perpetual.fulfillment_air import (
+        AMOUNT_BOUND,
+        FulfillmentBusAir,
+    )
     from stark_perpetual_tpu.models.perpetual.position_air import PositionCellAir
 
     if not verify_batch_builtins(proofs.builtins):
         return False
     claimed_hashes = {msg for msg, _r, _s, _pt in proofs.builtins.ecdsa_items}
-    for access in proofs.fulfillment_accesses:
-        if access.message_hash not in claimed_hashes:
+    for msg, _oid, ful, mu in proofs.fulfillment_claims:
+        if msg not in claimed_hashes:
+            return False
+        if not (0 <= ful < AMOUNT_BOUND and mu >= 0):
+            return False
+    for _oid, (v0, v1) in proofs.fulfillment_journal.items():
+        if not (0 <= v0 < AMOUNT_BOUND and 0 <= v1 < AMOUNT_BOUND):
             return False
     if proofs.fulfillment_proof is not None:
-        air = FulfillmentAir(
-            proofs.fulfillment_accesses,
-            proofs.fulfillment_initial,
-            proofs.fulfillment_final,
+        air = FulfillmentBusAir(
+            proofs.fulfillment_journal,
+            proofs.fulfillment_claims,
+            proofs.fulfillment_n_accesses,
         )
         if not verify_stark(air, proofs.fulfillment_proof):
             return False

@@ -14,7 +14,7 @@ from stark_perpetual_tpu.models.perpetual.prove import (
     verify_batch_builtins,
 )
 
-from test_perpetual_engine import world  # fixture reuse  # noqa: F401
+from test_perpetual_engine import world_fixture  # fixture reuse  # noqa: F401
 
 pytestmark = [
     pytest.mark.usefixtures("no_compile_cache"),

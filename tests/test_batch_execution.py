@@ -48,7 +48,9 @@ def test_prove_and_verify_batch_execution(batch_world):
     )
     assert proofs.fulfillment_proof is not None
     assert proofs.position_proof is not None
-    assert len(proofs.fulfillment_accesses) == 2  # one per order side
+    assert proofs.fulfillment_n_accesses == 2  # one per order side
+    assert len(proofs.fulfillment_claims) == 2  # two distinct signed orders
+    assert len(proofs.fulfillment_journal) == 2
     # The deposit + trade touch both positions' collateral and BTC cells.
     assert len(proofs.position_accesses) >= 6
     assert verify_batch_execution(proofs)
@@ -65,10 +67,13 @@ def test_mutated_schedule_fails_verification(batch_world):
     proofs, _result = prove_batch_execution(
         batch_world, blowup=4, n_queries=4, prove_builtins=False
     )
-    # Mutate one fulfillment update amount in the public schedule.
-    tampered = list(proofs.fulfillment_accesses)
-    tampered[0] = dc_replace(tampered[0], update_amount=tampered[0].update_amount + 1)
-    bad = dc_replace_proofs(proofs, fulfillment_accesses=tampered)
+    # Mutate a journal final amount (what the orders-tree update consumes):
+    # the bus AIR's final-side lookup no longer closes.
+    oid0 = next(iter(proofs.fulfillment_journal))
+    v0, v1 = proofs.fulfillment_journal[oid0]
+    bad_journal = dict(proofs.fulfillment_journal)
+    bad_journal[oid0] = (v0, v1 + 1)
+    bad = dc_replace_proofs(proofs, fulfillment_journal=bad_journal)
     assert not verify_batch_execution(bad)
     # Mutate one position delta.
     tampered_pos = list(proofs.position_accesses)
@@ -76,9 +81,13 @@ def test_mutated_schedule_fails_verification(batch_world):
     bad = dc_replace_proofs(proofs, position_accesses=tampered_pos)
     assert not verify_batch_execution(bad)
     # Claim a message hash that was never signature-verified.
-    tampered2 = list(proofs.fulfillment_accesses)
-    tampered2[0] = dc_replace(tampered2[0], message_hash=12345)
-    bad = dc_replace_proofs(proofs, fulfillment_accesses=tampered2)
+    msg, oid, ful, mu = proofs.fulfillment_claims[0]
+    bad_claims = [(12345, oid, ful, mu)] + list(proofs.fulfillment_claims[1:])
+    bad = dc_replace_proofs(proofs, fulfillment_claims=bad_claims)
+    assert not verify_batch_execution(bad)
+    # Mutate a claimed full amount: the sig-side lookup tuple changes.
+    bad_claims = [(msg, oid, ful + 1, mu)] + list(proofs.fulfillment_claims[1:])
+    bad = dc_replace_proofs(proofs, fulfillment_claims=bad_claims)
     assert not verify_batch_execution(bad)
 
 

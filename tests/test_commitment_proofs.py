@@ -15,7 +15,7 @@ from stark_perpetual_tpu.models.builtin_prover import (
 from stark_perpetual_tpu.ops.merkle import SparseMerkleTree
 from stark_perpetual_tpu.ops.pedersen import pedersen_call_log
 
-from test_perpetual_engine import world  # fixture reuse  # noqa: F401
+from test_perpetual_engine import world_fixture  # fixture reuse  # noqa: F401
 
 pytestmark = [
     pytest.mark.usefixtures("no_compile_cache"),

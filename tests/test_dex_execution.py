@@ -1,0 +1,148 @@
+"""End-to-end DEX batch execution proof: builtin pools + business-logic AIRs.
+
+DEX analog of test_batch_execution: the heavyweight builtin STARKs run in
+collect-only mode; the order-fulfillment and vault-cell AIR proofs run for
+real over a mixed batch (settlement with an L1 leg, transfer, modification,
+mint) covering both access kinds, both vault spaces, and unsigned accesses.
+"""
+
+import pytest
+
+import test_dex_engine as T
+from stark_perpetual_tpu.models.dex import engine as D
+
+pytestmark = pytest.mark.usefixtures("no_compile_cache")
+
+
+@pytest.fixture(scope="module")
+def dex_batch():
+    vaults = {
+        1: D.L2VaultState(T.PUB["alice"], T.TOKEN_A, 1000),
+        2: D.L2VaultState(T.PUB["alice"], T.TOKEN_B, 0),
+        3: D.L2VaultState(T.PUB["bob"], T.TOKEN_B, 500),
+        4: D.L2VaultState(T.PUB["bob"], T.TOKEN_A, 0),
+    }
+    a = T._signed_order("alice", 1, 2, 100, 40, T.TOKEN_A, T.TOKEN_B, nonce=1)
+    b = T._signed_order("bob", 3, 4, 40, 100, T.TOKEN_B, T.TOKEN_A, nonce=2)
+
+    # L1 leg: alice sells TOKEN_A for TOKEN_B against an eth-key order.
+    eth_key = 0xA4864D977B944315389D1765FFA7E66F74EE8CD7
+    a2 = T._signed_order("alice", 1, 2, 50, 20, T.TOKEN_A, T.TOKEN_B, nonce=3)
+    l1 = D.LimitOrder(
+        base=D.OrderBase(nonce=4, public_key=eth_key, expiration_timestamp=1_000_000),
+        amount_buy=50, amount_sell=20, amount_fee=0,
+        asset_id_buy=T.TOKEN_A, asset_id_sell=T.TOKEN_B, asset_id_fee=0,
+        vault_buy=11, vault_sell=12, vault_fee=0, is_l1=True,
+    )
+
+    tbase = D.OrderBase(nonce=5, public_key=T.PUB["alice"], expiration_timestamp=900_000)
+    transfer = D.Transfer(
+        base=tbase, sender_vault_id=1, receiver_public_key=T.PUB["bob"],
+        receiver_vault_id=4, amount=10, token=T.TOKEN_A, condition=0xC0DE,
+    )
+    from dataclasses import replace
+
+    from stark_perpetual_tpu.crypto.signature import sign
+
+    r, s = sign(D.transfer_message(transfer), T.KEYS["alice"])
+    transfer = replace(transfer, base=replace(tbase, signature_r=r, signature_s=s))
+
+    txs = [
+        D.Settlement(a, b, party_a_sold=100, party_b_sold=40),
+        D.Settlement(a2, l1, party_a_sold=50, party_b_sold=20),
+        transfer,
+        D.Modification(T.PUB["alice"], T.TOKEN_A, 1, 840, 2000),
+        D.Mint(T.PUB["bob"], D.MINTING_BIT + 77, 9),
+    ]
+    return D.DexProgramInput(
+        general_config=T.CONFIG,
+        global_expiration_timestamp=500_000,
+        txs=tuple(txs),
+        vaults=vaults,
+        orders={},
+    )
+
+
+@pytest.fixture(scope="module")
+def proven(dex_batch):
+    from stark_perpetual_tpu.models.dex.prove import prove_dex_execution
+
+    return prove_dex_execution(dex_batch, blowup=4, n_queries=4, prove_builtins=False)
+
+
+def test_prove_and_verify_dex_execution(proven):
+    from stark_perpetual_tpu.models.dex.prove import verify_dex_execution
+
+    proofs, result = proven
+    assert proofs.order_proof is not None
+    assert proofs.vault_proof is not None
+    # 4 order fills (a, b, a2, l1) + transfer + mint mark.
+    assert proofs.order_n_accesses == 6
+    assert len(proofs.order_journal) == 6  # every order distinct here
+    # Unsigned claims (L1 order, mint) carry no linkage hash.
+    unsigned = [c for c in proofs.order_claims if c[0] == 0]
+    assert len(unsigned) == 2
+    # L2 diffs + L1 diffs + modification 'set' + mint vault.
+    kinds = {a.kind for a in proofs.vault_accesses}
+    assert kinds == {"diff", "set"}
+    spaces = {a.cell[0] for a in proofs.vault_accesses}
+    assert spaces == {"l1", "l2"}
+    assert verify_dex_execution(proofs)
+    # Final balances agree with the engine run.
+    assert result.final_vaults[1].balance == 2000
+
+
+def test_tampered_dex_schedules_fail(proven):
+    from dataclasses import replace as dc
+
+    from stark_perpetual_tpu.models.dex.prove import verify_dex_execution
+
+    proofs, _result = proven
+
+    # Mutate a vault diff in the public schedule.
+    tampered = list(proofs.vault_accesses)
+    tampered[0] = dc(tampered[0], op1=tampered[0].op1 + 1)
+    assert not verify_dex_execution(dc(proofs, vault_accesses=tampered))
+
+    # Mutate a journal final amount: the bus lookup no longer closes.
+    oid0 = next(iter(proofs.order_journal))
+    v0, v1 = proofs.order_journal[oid0]
+    bad_journal = dict(proofs.order_journal)
+    bad_journal[oid0] = (v0, v1 + 1)
+    assert not verify_dex_execution(dc(proofs, order_journal=bad_journal))
+
+    # Claim a signed message that was never signature-verified.
+    signed = next(i for i, c in enumerate(proofs.order_claims) if c[0] != 0)
+    t3 = list(proofs.order_claims)
+    t3[signed] = (12345, t3[signed][1], t3[signed][2], t3[signed][3])
+    assert not verify_dex_execution(dc(proofs, order_claims=t3))
+
+    # A non-canonical final vault (empty with a key) must be rejected.
+    bad_final = dict(proofs.vault_final)
+    some_l2 = next(c for c in bad_final if c[0] == "l2")
+    bad_final[some_l2] = (0, 777, 888)
+    assert not verify_dex_execution(dc(proofs, vault_final=bad_final))
+
+
+def test_vault_air_guards():
+    """The vault AIR's replay rejects schedules an honest engine never logs."""
+    from stark_perpetual_tpu.models.dex.vault_air import DexVaultCellAir, VaultAccess
+
+    # Key mismatch on a non-empty prev vault.
+    with pytest.raises(ValueError, match="key/token mismatch"):
+        DexVaultCellAir(
+            [VaultAccess(("l2", 1), "diff", 999, 5, 10, 0)],
+            {("l2", 1): (100, 111, 5)},
+        ).trace()
+    # Balance driven out of range.
+    with pytest.raises(ValueError, match="out of range"):
+        DexVaultCellAir(
+            [VaultAccess(("l2", 1), "diff", 111, 5, -200, 0)],
+            {("l2", 1): (100, 111, 5)},
+        ).trace()
+    # 'set' with a wrong balance_before.
+    with pytest.raises(ValueError, match="balance_before"):
+        DexVaultCellAir(
+            [VaultAccess(("l2", 1), "set", 111, 5, 50, 70)],
+            {("l2", 1): (100, 111, 5)},
+        ).trace()
