@@ -22,6 +22,13 @@ if [[ "${CI_FULL:-0}" == "1" ]]; then
   python -m pytest tests/ -q -m "slow"
 fi
 
+if command -v node >/dev/null 2>&1; then
+  echo "== wallet JS tests =="
+  (cd js && node test/run.js)
+else
+  echo "== wallet JS tests: skipped (no node runtime) =="
+fi
+
 echo "== multi-chip sharding dry-run =="
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"

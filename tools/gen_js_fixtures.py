@@ -70,6 +70,39 @@ def main() -> None:
             for priv, pub in sorted(V.PRECOMPUTED_KEYS.items())
         ],
         "signatures": signature_vectors,
+        "key_derivation": {
+            # key_derivation.spec.js published vectors (also pinned by
+            # tests/test_key_derivation_assets.py).
+            "mnemonic": (
+                "range mountain blast problem vibrant void vivid doctor cluster "
+                "enough melody salt layer language laptop boat major space monkey "
+                "unit glimpse pause change vibrant"
+            ),
+            "eth_address": "0xa4864d977b944315389d1765ffa7e66F74ee8cd7",
+            "layer": "starkex",
+            "application": "starkdeployement",
+            "paths": [
+                {
+                    "index": 0,
+                    "key": "0x6cf0a8bf113352eb863157a45c5e5567abb34f8d32cddafd2c22aa803f4892c",
+                },
+                {
+                    "index": 7,
+                    "key": "0x341751bdc42841da35ab74d13a1372c1f0250617e8a2ef96034d9f46e6847af",
+                },
+                {
+                    "index": 598,
+                    "key": "0x41a4d591a868353d28b7947eb132aa4d00c4a022743689ffd20a3628d6ca28c",
+                },
+            ],
+            "eth_signature": (
+                "0x21fbf0696d5e0aa2ef41a2b4ffb623bcaf070461d61cf7251c74161f82fec3a43"
+                "70854bc0a34b3ab487c1bc021cd318c734c51ae29374f2beb0e6f2dd49b4bf41c"
+            ),
+            "eth_signature_key": (
+                "0x766f11e90cd7c7b43085b56da35c781f8c067ac0d578eabdceebc4886435bda"
+            ),
+        },
         "grind_key": {
             # The published key-derivation grind vector (key_derivation.spec.js).
             "seed": hex(
