@@ -31,6 +31,7 @@ TARGET_NTT20_WALL = 1.0  # seconds, 2^20-point forward NTT
 TARGET_NTT24_WALL = 8.0  # seconds, 2^24-point forward NTT (north-star size)
 TARGET_LDE20_WALL = 8.0  # seconds, 2^20 coeffs -> 2^23 coset evals (blowup 8)
 TARGET_STARK_PROVE_WALL = 600.0  # seconds, pedersen-builtin AIR, 8 pooled hashes
+TARGET_BATCH_PROVE_WALL = 600.0  # seconds, business-logic proofs of a 4-tx batch
 
 
 def emit(metric: str, value: float, unit: str, target: float, invert: bool = False):
@@ -214,6 +215,34 @@ def bench_stark_prove() -> None:
     emit("stark_prove_pedersen8_wall", dt, "s", TARGET_STARK_PROVE_WALL, invert=True)
 
 
+def bench_batch_execution_prove() -> None:
+    """Business-logic proofs of a mixed perpetual batch end to end: the
+    witnessed-schedule fulfillment bus AIR + the position-cell AIR over a
+    deposit + trade + funding batch (builtin pools collected, not proven —
+    they have their own metric above)."""
+    from stark_perpetual_tpu.models.perpetual.prove import (
+        prove_batch_execution,
+        verify_batch_execution,
+    )
+    from stark_perpetual_tpu.models.perpetual.sample import sample_batch_input
+
+    program_input = sample_batch_input(n_trades=1)
+    t0 = time.time()
+    proofs, _result = prove_batch_execution(
+        program_input, blowup=4, n_queries=16, prove_builtins=False
+    )
+    dt = time.time() - t0
+    assert proofs.fulfillment_proof is not None and proofs.position_proof is not None
+    assert verify_batch_execution(proofs)
+    print(
+        f"batch_execution_prove: {dt:.1f}s (fulfillment bus "
+        f"n={proofs.fulfillment_proof.trace_length}, position "
+        f"n={proofs.position_proof.trace_length}, incl. first-compile)",
+        file=sys.stderr,
+    )
+    emit("batch_execution_prove_wall", dt, "s", TARGET_BATCH_PROVE_WALL, invert=True)
+
+
 def main() -> int:
     bench_pedersen()  # headline: always first, never guarded
     secondaries = [
@@ -222,6 +251,7 @@ def main() -> int:
         lambda: bench_ntt(24, TARGET_NTT24_WALL),
         bench_lde,
         bench_stark_prove,
+        bench_batch_execution_prove,
     ]
     if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
         return 0

@@ -318,8 +318,11 @@ class CarriedState:
         for phase, kind, asset_id, prev, new, operand in records:
             if phase == "upd" and not success:
                 continue
+            # The phase tag distinguishes funding-event idx writes (whose
+            # terms must sum to the following 'adj' operand) from add-asset
+            # idx writes; the funding-total validator needs it.
             self.position_access_log.append(
-                (position_id, kind, asset_id, prev, new, operand)
+                (position_id, kind, asset_id, prev, new, operand, phase)
             )
 
     def get_position(self, position_id: int) -> Position:

@@ -26,11 +26,14 @@ cell runs from the carried-in value (the prev-state position, bound as a
 public input) to the claimed final value (what the position leaf hash and
 Merkle update consume).
 
-v1 public-input model: the access schedule (keys, kinds, operands) and the
-initial/final cell values are bound into the transcript via
+v1 public-input model: the access schedule (keys, kinds, phases, operands)
+and the initial/final cell values are bound into the transcript via
 ``public_inputs`` — the committed witness is the running values and the
 range/remainder ladders. Funding ``total`` consistency with the per-asset
-terms is the documented cross-row (bus) stage.
+terms is checked by ``validate_funding_totals`` (an execution-order replay
+of the same public schedule, run by both prover and verifier); folding it
+into the trace is part of the dual-view (memory-argument) migration, the
+same stage as witnessing this AIR's schedule like FulfillmentBusAir does.
 
 Block layout: 128 rows per access, trace width 4 (prev, new, suf_a, suf_b):
   row 0        access semantics + ladder seeds
@@ -67,6 +70,10 @@ class PositionCellAccess:
     asset_id: int
     kind: str  # 'bal' | 'idx' | 'adj'
     operand: int  # delta (bal) / g_idx (idx) / total funding term (adj)
+    # 'fund' for funding-event writes (idx terms sum into the next 'adj'),
+    # 'upd' for transaction mutations. Part of the public schedule: the
+    # funding-total validator depends on it.
+    phase: str = "upd"
 
     @property
     def cell(self) -> Tuple[int, int, int]:
@@ -87,16 +94,53 @@ def accesses_from_log(log) -> List[PositionCellAccess]:
         "adj": TAG_COLLATERAL,
     }
     out = []
-    for position_id, kind, asset_id, _prev, _new, operand in log:
+    for position_id, kind, asset_id, _prev, _new, operand, phase in log:
         air_kind = "bal" if kind == "col" else kind
         out.append(
             PositionCellAccess(
                 position_id, tag_of[kind],
                 0 if kind in ("col", "adj") else asset_id,
-                air_kind, operand,
+                air_kind, operand, phase,
             )
         )
     return out
+
+
+def validate_funding_totals(
+    accesses: Sequence[PositionCellAccess],
+    initial_cells: Dict[Tuple[int, int, int], int],
+) -> bool:
+    """Execution-order replay check: every 'adj' operand must equal the sum
+    of its funding event's per-asset terms (g_idx - cached) * balance
+    (funding.cairo:31-127). This closes the cross-row gap the AIR's sorted
+    per-cell view cannot see: the AIR proves each cell evolves by its
+    operand; this check pins the 'adj' operands to the idx/balance history
+    of the same public schedule.
+
+    The schedule is public, so this is verifier-side work (O(len(log)));
+    folding it into the trace is part of the dual-view (memory-argument)
+    migration.
+    """
+    cells = dict(initial_cells)
+    pending: Dict[int, int] = {}
+    for a in accesses:
+        if a.kind == "bal":
+            cells[a.cell] = cells.get(a.cell, 0) + a.operand
+        elif a.kind == "idx":
+            if a.phase == "fund":
+                cached = cells.get(a.cell, 0)
+                balance = cells.get((a.position_id, TAG_ASSET, a.asset_id), 0)
+                pending[a.position_id] = (
+                    pending.get(a.position_id, 0) + (a.operand - cached) * balance
+                )
+            cells[a.cell] = a.operand
+        else:  # adj
+            if a.operand != pending.pop(a.position_id, 0):
+                return False
+            prev = cells.get(a.cell, 0)
+            cells[a.cell] = (prev * B32 - a.operand) >> 32
+    # A funding event must complete with its 'adj' row.
+    return not pending
 
 
 def initial_cells_from_positions(positions) -> Dict[Tuple[int, int, int], int]:
@@ -244,7 +288,10 @@ class PositionCellAir(Air):
         for a in self.accesses:
             out += [
                 a.position_id, a.tag, a.asset_id,
-                _KINDS.index(a.kind), a.operand % FIELD_PRIME,
+                # phase rides the kind word (bit 2): the funding-total
+                # validator's verdict depends on it, so it must be bound.
+                _KINDS.index(a.kind) + (4 if a.phase == "fund" else 0),
+                a.operand % FIELD_PRIME,
             ]
         for cell in sorted(self.initial):
             out += [*cell, self.initial[cell] % FIELD_PRIME]

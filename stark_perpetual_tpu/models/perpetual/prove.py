@@ -200,6 +200,7 @@ def prove_batch_execution(
         PositionCellAir,
         accesses_from_log,
         initial_cells_from_positions,
+        validate_funding_totals,
     )
 
     builtin_proofs, result = prove_batch_commitments(
@@ -226,6 +227,11 @@ def prove_batch_execution(
 
     pos_accesses = accesses_from_log(result.position_access_log)
     pos_initial = initial_cells_from_positions(program_input.positions or {})
+    # Cross-row funding consistency: each 'adj' operand must equal its
+    # funding event's per-asset terms (also re-checked by the verifier).
+    assert validate_funding_totals(pos_accesses, pos_initial), (
+        "funding totals inconsistent with the idx/balance history"
+    )
     pos_air = PositionCellAir(pos_accesses, pos_initial) if pos_accesses else None
     pos_final = dict(pos_air.final) if pos_air else {}
     # v1 cross-link: the balance-cell finals must agree with the final
@@ -287,9 +293,14 @@ def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
         AMOUNT_BOUND,
         FulfillmentBusAir,
     )
-    from stark_perpetual_tpu.models.perpetual.position_air import PositionCellAir
+    from stark_perpetual_tpu.models.perpetual.position_air import (
+        PositionCellAir,
+        validate_funding_totals,
+    )
 
     if not verify_batch_builtins(proofs.builtins):
+        return False
+    if not validate_funding_totals(proofs.position_accesses, proofs.position_initial):
         return False
     claimed_hashes = {msg for msg, _r, _s, _pt in proofs.builtins.ecdsa_items}
     for msg, _oid, ful, mu in proofs.fulfillment_claims:

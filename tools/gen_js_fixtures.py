@@ -157,6 +157,17 @@ def main() -> None:
             ],
         },
     }
+    import test_key_derivation_assets as KA
+
+    fixtures["asset_types"] = [
+        {"expected": hex(expected), "asset": asset}
+        for expected, asset in KA.ASSET_TYPE_FIXTURES.items()
+    ]
+    fixtures["asset_ids"] = [
+        {"expected": hex(expected), "asset": asset}
+        for expected, asset in KA.ASSET_ID_FIXTURES.items()
+    ]
+
     with open(os.path.join(root, "test", "fixtures.json"), "w") as f:
         json.dump(fixtures, f, indent=1, default=str)
     print("wrote pedersen_points.json and fixtures.json")
