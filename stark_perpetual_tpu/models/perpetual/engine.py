@@ -605,6 +605,7 @@ def execute_funding_tick(state, batch_config, outputs, crypto, tx: FundingTick) 
     proof_assert(state.system_time <= new.funding_timestamp)
     _validate_funding_tick(state, batch_config.general_config, new)
     state.global_funding_indices = new
+    state.funding_epoch += 1
     state.system_time = new.funding_timestamp
     outputs.funding_indices_table.append(new)
 

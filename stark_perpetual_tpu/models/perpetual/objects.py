@@ -308,6 +308,11 @@ class CarriedState:
     # journals these keep every access.
     order_access_log: list = field(default_factory=list)
     position_access_log: list = field(default_factory=list)
+    # Funding epoch: number of FUNDING_TICK transactions executed so far.
+    # Funding-event records carry the epoch in force when they were applied,
+    # so the bus AIR's public funding table can be keyed (epoch, asset) ->
+    # global index instead of re-publishing per-position schedules.
+    funding_epoch: int = 0
 
     def commit_position_accesses(self, position_id: int, records, success: bool) -> None:
         """Append a position-mutation record stream to the batch log.
@@ -322,7 +327,8 @@ class CarriedState:
             # terms must sum to the following 'adj' operand) from add-asset
             # idx writes; the funding-total validator needs it.
             self.position_access_log.append(
-                (position_id, kind, asset_id, prev, new, operand, phase)
+                (position_id, kind, asset_id, prev, new, operand, phase,
+                 self.funding_epoch)
             )
 
     def get_position(self, position_id: int) -> Position:

@@ -101,6 +101,11 @@ def position_apply_funding(
             raise BatchProofError(None, f"funding index missing for asset {asset.asset_id:#x}")
         collateral_fxp -= (g_idx - asset.cached_funding_index) * asset.balance
         total_term += (g_idx - asset.cached_funding_index) * asset.balance
+        # The balance read feeding this funding term is itself a logged cell
+        # access: the bus AIR (position_bus_air.py) proves in-trace that the
+        # read returns the cell's current value (memory ordering) and that
+        # the following idx write's term uses exactly that value.
+        _record("fund", "rd", asset.asset_id, asset.balance, asset.balance, 0)
         _record("fund", "idx", asset.asset_id, asset.cached_funding_index, g_idx, g_idx)
         new_assets.append(replace(asset, cached_funding_index=g_idx))
     new_collateral = collateral_fxp >> 32  # floor division: funding never mints

@@ -58,7 +58,7 @@ TAG_COLLATERAL = 0
 TAG_ASSET = 1
 TAG_INDEX = 2
 
-_KINDS = ("bal", "idx", "adj")
+_KINDS = ("bal", "idx", "adj", "rd")
 
 
 @dataclass(frozen=True)
@@ -68,12 +68,16 @@ class PositionCellAccess:
     position_id: int
     tag: int
     asset_id: int
-    kind: str  # 'bal' | 'idx' | 'adj'
+    kind: str  # 'bal' | 'idx' | 'adj' | 'rd' (read: new = prev, operand 0)
     operand: int  # delta (bal) / g_idx (idx) / total funding term (adj)
     # 'fund' for funding-event writes (idx terms sum into the next 'adj'),
     # 'upd' for transaction mutations. Part of the public schedule: the
     # funding-total validator depends on it.
     phase: str = "upd"
+    # Funding epoch in force when a 'fund' record was applied (number of
+    # funding ticks executed before it); keys the bus AIR's public
+    # (epoch, asset) -> global-index table.
+    epoch: int = 0
 
     @property
     def cell(self) -> Tuple[int, int, int]:
@@ -84,23 +88,25 @@ def accesses_from_log(log) -> List[PositionCellAccess]:
     """CarriedState.position_access_log records -> typed accesses.
 
     Engine record kinds: 'col' (collateral delta), 'bal' (asset delta),
-    'idx' (cached-index write), 'adj' (funding adjustment). 'col' maps to
-    the AIR's 'bal' constraint on the collateral cell.
+    'idx' (cached-index write), 'adj' (funding adjustment), 'rd' (funding
+    balance read). 'col' maps to the AIR's 'bal' constraint on the
+    collateral cell.
     """
     tag_of = {
         "col": TAG_COLLATERAL,
         "bal": TAG_ASSET,
         "idx": TAG_INDEX,
         "adj": TAG_COLLATERAL,
+        "rd": TAG_ASSET,
     }
     out = []
-    for position_id, kind, asset_id, _prev, _new, operand, phase in log:
+    for position_id, kind, asset_id, _prev, _new, operand, phase, epoch in log:
         air_kind = "bal" if kind == "col" else kind
         out.append(
             PositionCellAccess(
                 position_id, tag_of[kind],
                 0 if kind in ("col", "adj") else asset_id,
-                air_kind, operand, phase,
+                air_kind, operand, phase, epoch,
             )
         )
     return out
@@ -124,6 +130,8 @@ def validate_funding_totals(
     cells = dict(initial_cells)
     pending: Dict[int, int] = {}
     for a in accesses:
+        if a.kind == "rd":
+            continue  # read: no state change, no pending term
         if a.kind == "bal":
             cells[a.cell] = cells.get(a.cell, 0) + a.operand
         elif a.kind == "idx":
@@ -192,8 +200,8 @@ class PositionCellAir(Air):
         rows = []
         for a in self.accesses:
             prev = running.get(a.cell, 0)
-            if a.kind == "bal":
-                new = prev + a.operand
+            if a.kind in ("bal", "rd"):
+                new = prev + a.operand  # rd: operand 0, new = prev
                 rem = 0
                 base = BAL_LOWER
             elif a.kind == "idx":
@@ -250,7 +258,8 @@ class PositionCellAir(Air):
         for k, a in enumerate(acc):
             base = k * BLOCK
             cols["start"][base] = 1
-            cols["sel_" + a.kind][base] = 1
+            # 'rd' rides the bal constraint (new = prev + 0).
+            cols["sel_" + ("bal" if a.kind == "rd" else a.kind)][base] = 1
             cols["operand"][base] = a.operand % FIELD_PRIME
             cols["rng_base"][base] = (BAL_LOWER if a.kind != "idx" else IDX_LOWER) % FIELD_PRIME
             for i in range(64):

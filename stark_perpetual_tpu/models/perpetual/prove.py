@@ -18,15 +18,17 @@ batch run:
   logUp lookups bind every run boundary to the journal and every access to
   a claim (fulfillment_air.py v2);
 - the position balance/funding cell updates (position.cairo,
-  add_asset.cairo, funding.cairo) as a ``PositionCellAir`` access-log
-  proof (``prove_batch_execution`` bundles all four).
+  add_asset.cairo, funding.cairo) as a ``PositionBusAir`` witnessed-
+  schedule proof (``prove_batch_execution`` bundles all four).
 
-Public-input model: the position AIR still binds its access schedule as
-public inputs cross-linked by verifier glue (its bus migration needs the
-funding-total term argument — the documented next stage); the fulfillment
-AIR's glue is now in-proof. The claims table's own integrity (each msg is
-an ECDSA-verified signature; (order_id, full_amount) match the signed
-message content) is checked against the pooled builtin proofs publicly.
+Public-input model: both business-logic AIRs now use the witnessed-
+schedule bus model — the schedules are private trace; the public surface
+is journals + claims tables, and the in-proof logUp arguments (including
+the position AIR's funding-total term argument) do the binding. The
+claims tables' own integrity (each fulfillment msg is an ECDSA-verified
+signature; the funding table matches the executed ticks; balance finals
+match the committed leaves) is cross-checked against the pooled builtin
+proofs and batch outputs publicly.
 """
 
 from dataclasses import dataclass
@@ -156,12 +158,15 @@ def fulfillment_public_surface(result):
 class BatchExecutionProofs:
     """Builtin pools + the business-logic proofs of one batch.
 
-    Fulfillment accounting is proven by the v2 bus AIR (FulfillmentBusAir):
-    the access schedule is WITNESS; the public surface is the touched-order
-    journal {id: (carried_in, final)} and the claims table
+    Both business-logic AIRs use the witnessed-schedule bus model: the
+    access schedules are WITNESS inside the proofs, and the public surface
+    is journals + claims tables. Fulfillment: the touched-order journal
+    {id: (carried_in, final)} and the signed-claims table
     [(msg, order_id, full_amount, multiplicity)] cross-linked to the ECDSA
-    pool. The position-cell AIR still uses the v1 public-schedule model
-    (its bus migration is the documented next stage).
+    pool. Positions: the touched-cell journal {cell: (carried_in, final)}
+    plus the transaction-update, (epoch, asset) funding-index and
+    (position, epoch) funding-event tables — funding-total consistency is
+    proven in-trace by PositionBusAir (no verifier-side replay).
     """
 
     builtins: BatchBuiltinProofs
@@ -169,9 +174,11 @@ class BatchExecutionProofs:
     fulfillment_claims: list  # [(msg, order_id, full_amount, multiplicity)]
     fulfillment_n_accesses: int
     fulfillment_proof: Optional[object]
-    position_accesses: list
-    position_initial: dict
-    position_final: dict
+    position_journal: dict  # {(pid, tag, aid): (carried_in, final)}
+    position_upd_claims: list  # [(pid, tag, aid, kcode, operand, mult)]
+    position_fund_claims: list  # [(epoch, asset_id, g_index, mult)]
+    position_event_claims: list  # [(pid, epoch, mult)]
+    position_n_accesses: int
     position_proof: Optional[object]
 
 
@@ -197,10 +204,13 @@ def prove_batch_execution(
         FulfillmentBusAir,
     )
     from stark_perpetual_tpu.models.perpetual.position_air import (
-        PositionCellAir,
+        TAG_INDEX,
         accesses_from_log,
         initial_cells_from_positions,
-        validate_funding_totals,
+    )
+    from stark_perpetual_tpu.models.perpetual.position_bus_air import (
+        PositionBusAir,
+        public_surface_from_accesses,
     )
 
     builtin_proofs, result = prove_batch_commitments(
@@ -227,25 +237,36 @@ def prove_batch_execution(
 
     pos_accesses = accesses_from_log(result.position_access_log)
     pos_initial = initial_cells_from_positions(program_input.positions or {})
-    # Cross-row funding consistency: each 'adj' operand must equal its
-    # funding event's per-asset terms (also re-checked by the verifier).
-    assert validate_funding_totals(pos_accesses, pos_initial), (
-        "funding totals inconsistent with the idx/balance history"
-    )
-    pos_air = PositionCellAir(pos_accesses, pos_initial) if pos_accesses else None
-    pos_final = dict(pos_air.final) if pos_air else {}
-    # v1 cross-link: the balance-cell finals must agree with the final
-    # positions (whose leaf hashes are inside the pooled pedersen trace).
-    # Index cells of removed assets legitimately keep stale values: a
-    # removed asset has no leaf contribution.
-    from stark_perpetual_tpu.models.perpetual.position_air import TAG_INDEX
-
+    pos_air = None
+    pos_journal, pos_upd, pos_fund, pos_ev = {}, [], [], []
+    if pos_accesses:
+        pos_journal, pos_upd, pos_fund, pos_ev = public_surface_from_accesses(
+            pos_accesses, pos_initial
+        )
+        pos_air = PositionBusAir(
+            pos_journal, pos_upd, pos_fund, pos_ev, len(pos_accesses)
+        )
+    # Cross-links between the public surface and the rest of the batch:
+    # the journal's balance-cell finals must agree with the final positions
+    # (whose leaf hashes are inside the pooled pedersen trace), and the
+    # funding table must agree with the executed funding ticks. Index cells
+    # of removed assets legitimately keep stale values: a removed asset has
+    # no leaf contribution.
     finals_from_positions = initial_cells_from_positions(result.final_positions)
-    for cell, value in pos_final.items():
+    for cell, (_v0, value) in pos_journal.items():
         if cell in finals_from_positions:
             assert finals_from_positions[cell] == value, cell
         elif cell[1] != TAG_INDEX:
             assert value == 0, cell
+    epoch_tables = {0: program_input.prev_shared_state.global_funding_indices}
+    for e, info in enumerate(result.outputs.funding_indices_table, start=1):
+        epoch_tables[e] = info
+    from stark_perpetual_tpu.params import FIELD_PRIME
+
+    for eid, aid, g, _mu in pos_fund:
+        info = epoch_tables.get(eid)
+        assert info is not None, f"funding epoch {eid} has no tick"
+        assert info.index_of(aid) % FIELD_PRIME == g, (eid, aid)
 
     if prove:
         import jax
@@ -258,7 +279,7 @@ def prove_batch_execution(
         if pos_air is not None:
             jax.clear_caches()
             pos_proof = StarkProver(pos_air, blowup=blowup, n_queries=n_queries).prove(
-                pos_air.trace()
+                pos_air.trace(pos_accesses)
             )
         else:
             pos_proof = None
@@ -272,9 +293,11 @@ def prove_batch_execution(
             fulfillment_claims=ful_claims,
             fulfillment_n_accesses=len(result.order_access_log),
             fulfillment_proof=ful_proof,
-            position_accesses=pos_accesses,
-            position_initial=pos_initial,
-            position_final=pos_final,
+            position_journal=pos_journal,
+            position_upd_claims=pos_upd,
+            position_fund_claims=pos_fund,
+            position_event_claims=pos_ev,
+            position_n_accesses=len(pos_accesses),
             position_proof=pos_proof,
         ),
         result,
@@ -284,23 +307,22 @@ def prove_batch_execution(
 def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
     """Re-derive every AIR from the public inputs and check all proofs.
 
-    The fulfillment verifier needs only the journal + claims table (the
-    access schedule is witness inside the proof); it cross-checks every
-    claimed message against the ECDSA pool's verified signatures.
+    Both business-logic verifiers need only journals + claims tables (the
+    access schedules are witness inside the proofs). The fulfillment
+    verifier cross-checks every claimed message against the ECDSA pool's
+    verified signatures; funding-total consistency needs no host replay —
+    PositionBusAir proves it in-trace.
     """
     from stark_perpetual_tpu.models.air import verify_stark
     from stark_perpetual_tpu.models.perpetual.fulfillment_air import (
         AMOUNT_BOUND,
         FulfillmentBusAir,
     )
-    from stark_perpetual_tpu.models.perpetual.position_air import (
-        PositionCellAir,
-        validate_funding_totals,
+    from stark_perpetual_tpu.models.perpetual.position_bus_air import (
+        PositionBusAir,
     )
 
     if not verify_batch_builtins(proofs.builtins):
-        return False
-    if not validate_funding_totals(proofs.position_accesses, proofs.position_initial):
         return False
     claimed_hashes = {msg for msg, _r, _s, _pt in proofs.builtins.ecdsa_items}
     for msg, _oid, ful, mu in proofs.fulfillment_claims:
@@ -320,11 +342,16 @@ def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
         if not verify_stark(air, proofs.fulfillment_proof):
             return False
     if proofs.position_proof is not None:
-        air = PositionCellAir(
-            proofs.position_accesses,
-            proofs.position_initial,
-            proofs.position_final,
-        )
+        try:
+            air = PositionBusAir(
+                proofs.position_journal,
+                proofs.position_upd_claims,
+                proofs.position_fund_claims,
+                proofs.position_event_claims,
+                proofs.position_n_accesses,
+            )
+        except AssertionError:
+            return False  # malformed public surface
         if not verify_stark(air, proofs.position_proof):
             return False
     return True
