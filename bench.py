@@ -14,10 +14,38 @@ floor expectations, documented next to each constant.
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
-import jax
+_T0 = time.time()
+# Wall-clock budget: the driver runs bench.py under a timeout; being KILLED
+# loses the exit status and risks wedging the device tunnel mid-operation.
+# Instead a watchdog exits 0 with whatever metrics already flushed. The
+# secondary list is ordered cheapest-compile-first so a cold-cache run
+# maximizes coverage; a warm persistent cache (below) fits everything.
+BUDGET = float(os.environ.get("BENCH_BUDGET", "540"))
+
+
+def _watchdog():
+    def expire():
+        print(
+            f"bench budget ({BUDGET:.0f}s) expired; exiting with partial results",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(0)
+
+    t = threading.Timer(max(BUDGET - (time.time() - _T0), 1.0), expire)
+    t.daemon = True
+    t.start()
+
+
+def _remaining() -> float:
+    return BUDGET - (time.time() - _T0)
+
+
+import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -244,18 +272,27 @@ def bench_batch_execution_prove() -> None:
 
 
 def main() -> int:
+    _watchdog()
     bench_pedersen()  # headline: always first, never guarded
+    # (name, fn, cold-cache cost estimate in seconds on the attached chip).
     secondaries = [
-        bench_ecdsa,
-        lambda: bench_ntt(20, TARGET_NTT20_WALL),
-        lambda: bench_ntt(24, TARGET_NTT24_WALL),
-        bench_lde,
-        bench_stark_prove,
-        bench_batch_execution_prove,
+        ("ecdsa", bench_ecdsa, 110.0),
+        ("ntt20", lambda: bench_ntt(20, TARGET_NTT20_WALL), 310.0),
+        ("lde20", bench_lde, 260.0),
+        ("stark_prove", bench_stark_prove, 240.0),
+        ("batch_prove", bench_batch_execution_prove, 200.0),
+        ("ntt24", lambda: bench_ntt(24, TARGET_NTT24_WALL), 420.0),
     ]
     if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
         return 0
-    for fn in secondaries:
+    for name, fn, est in secondaries:
+        # A warm persistent cache makes every metric cheap (~tens of s), so
+        # the only hard skip is "almost no time left"; the watchdog bounds a
+        # cold-cache compile that overruns.
+        if _remaining() < 60.0:
+            print(f"skip {name}: {_remaining():.0f}s left (cold est {est:.0f}s)",
+                  file=sys.stderr, flush=True)
+            continue
         try:
             fn()
         except Exception:
