@@ -309,6 +309,25 @@ def execute_limit_order(
     )
     proof_assert(code == ErrorCode.SUCCESS, code)
 
+    from stark_perpetual_tpu.models.perpetual.order_link_air import OrderExecRecord
+
+    state.order_exec_log.append(
+        OrderExecRecord(
+            message_hash=message_hash,
+            order_id=message_hash >> 187,
+            amount_synthetic=order.amount_synthetic,
+            amount_collateral=order.amount_collateral,
+            amount_fee=order.amount_fee,
+            is_buying=1 if order.is_buying_synthetic else 0,
+            actual_synthetic=actual_synthetic,
+            actual_collateral=actual_collateral,
+            actual_fee=actual_fee,
+            position_id=order.position_id,
+            asset_id_synthetic=order.asset_id_synthetic,
+            fee_position_id=config.fee_position_info.position_id,
+        )
+    )
+
 
 def execute_trade(state, batch_config, outputs, crypto, tx: Trade) -> None:
     """transactions/trade.cairo:23-105."""

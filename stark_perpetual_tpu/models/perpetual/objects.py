@@ -308,6 +308,10 @@ class CarriedState:
     # journals these keep every access.
     order_access_log: list = field(default_factory=list)
     position_access_log: list = field(default_factory=list)
+    # Limit-order execution records (order_link_air.OrderExecRecord): the
+    # witness of the order-link AIR binding fairness/ranges/deltas to the
+    # fulfillment and position claims tables.
+    order_exec_log: list = field(default_factory=list)
     # Funding epoch: number of FUNDING_TICK transactions executed so far.
     # Funding-event records carry the epoch in force when they were applied,
     # so the bus AIR's public funding table can be keyed (epoch, asset) ->

@@ -261,6 +261,7 @@ class ProgramRunResult:
     order_access_log: list = None
     order_journal: Dict[int, Tuple[int, int]] = None
     position_access_log: list = None
+    order_exec_log: list = None
 
 
 def run_program(
@@ -328,4 +329,5 @@ def run_program(
         order_access_log=list(state.order_access_log),
         order_journal=dict(state.order_journal),
         position_access_log=list(state.position_access_log),
+        order_exec_log=list(state.order_exec_log),
     )

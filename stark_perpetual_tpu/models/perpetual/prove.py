@@ -19,7 +19,13 @@ batch run:
   a claim (fulfillment_air.py v2);
 - the position balance/funding cell updates (position.cairo,
   add_asset.cairo, funding.cairo) as a ``PositionBusAir`` witnessed-
-  schedule proof (``prove_batch_execution`` bundles all four).
+  schedule proof;
+- every limit-order execution (execute_limit_order.cairo:37-156) as an
+  ``OrderLinkAir`` proof: order-id extraction, fairness inequalities,
+  amount windows and the collateral/synthetic/fee delta production,
+  consuming the fulfillment claims table and producing the trade subset
+  of the position update claims (``prove_batch_execution`` bundles all
+  five).
 
 Public-input model: both business-logic AIRs now use the witnessed-
 schedule bus model — the schedules are private trace; the public surface
@@ -180,6 +186,14 @@ class BatchExecutionProofs:
     position_event_claims: list  # [(pid, epoch, mult)]
     position_n_accesses: int
     position_proof: Optional[object]
+    # Order-link AIR (order_link_air.py): fairness/range/delta production of
+    # every limit-order execution, consuming the fulfillment claims and
+    # producing the trade subset of the position update claims.
+    order_link_fc_claims: list = None  # [(msg, oid, full, mult)]
+    order_link_upd_claims: list = None  # [(pid, tag, aid, 0, op, mult)]
+    order_link_n_execs: int = 0
+    order_link_fee_position_id: int = 0
+    order_link_proof: Optional[object] = None
 
 
 def prove_batch_execution(
@@ -268,6 +282,29 @@ def prove_batch_execution(
         assert info is not None, f"funding epoch {eid} has no tick"
         assert info.index_of(aid) % FIELD_PRIME == g, (eid, aid)
 
+    # Order-link AIR: fairness/range/delta production of every limit-order
+    # execution, bound to the same claims tables the bus AIRs consume.
+    from stark_perpetual_tpu.models.perpetual.order_link_air import (
+        OrderLinkAir,
+        order_link_public_surface,
+    )
+
+    link_air = None
+    link_fc, link_upd = [], []
+    fee_pid = program_input.general_config.fee_position_info.position_id
+    if result.order_exec_log:
+        link_fc, link_upd = order_link_public_surface(result.order_exec_log)
+        link_air = OrderLinkAir(
+            link_fc, link_upd, fee_pid, len(result.order_exec_log)
+        )
+        assert sorted(link_fc) == sorted(ful_claims), (
+            "order-link consumed claims != fulfillment claims"
+        )
+        assert _multiset_contained(link_upd, pos_upd), (
+            "order-link produced updates not in the position claims"
+        )
+
+    link_proof = None
     if prove:
         import jax
 
@@ -283,6 +320,11 @@ def prove_batch_execution(
             )
         else:
             pos_proof = None
+        if link_air is not None:
+            jax.clear_caches()
+            link_proof = StarkProver(
+                link_air, blowup=max(blowup, 4), n_queries=n_queries
+            ).prove(link_air.trace(result.order_exec_log))
     else:
         pos_proof = None
 
@@ -299,9 +341,27 @@ def prove_batch_execution(
             position_event_claims=pos_ev,
             position_n_accesses=len(pos_accesses),
             position_proof=pos_proof,
+            order_link_fc_claims=link_fc,
+            order_link_upd_claims=link_upd,
+            order_link_n_execs=len(result.order_exec_log),
+            order_link_fee_position_id=fee_pid,
+            order_link_proof=link_proof,
         ),
         result,
     )
+
+
+def _multiset_contained(sub, full) -> bool:
+    """Every (key, mult) of `sub` is covered by `full` (claims-table rows
+    [(..., mult)]; keys may repeat across rows)."""
+    from collections import Counter
+
+    have: Counter = Counter()
+    for row in full:
+        have[tuple(row[:-1])] += row[-1]
+    for row in sub:
+        have[tuple(row[:-1])] -= row[-1]
+    return all(v >= 0 for v in have.values())
 
 
 def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
@@ -354,4 +414,33 @@ def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
             return False  # malformed public surface
         if not verify_stark(air, proofs.position_proof):
             return False
+    # Order-link: the consumed claims must BE the fulfillment claims table
+    # (every fill is a proven-fair limit-order execution), and the produced
+    # updates must be covered by the position AIR's update table (trade
+    # deltas are not free public inputs).
+    if proofs.order_link_n_execs:
+        from stark_perpetual_tpu.models.perpetual.order_link_air import (
+            OrderLinkAir,
+        )
+
+        if sorted(proofs.order_link_fc_claims) != sorted(proofs.fulfillment_claims):
+            return False
+        if not _multiset_contained(
+            proofs.order_link_upd_claims, proofs.position_upd_claims
+        ):
+            return False
+        if proofs.order_link_proof is not None:
+            try:
+                air = OrderLinkAir(
+                    proofs.order_link_fc_claims,
+                    proofs.order_link_upd_claims,
+                    proofs.order_link_fee_position_id,
+                    proofs.order_link_n_execs,
+                )
+            except AssertionError:
+                return False
+            if not verify_stark(air, proofs.order_link_proof):
+                return False
+    elif proofs.fulfillment_claims:
+        return False  # fills without any proven limit-order execution
     return True

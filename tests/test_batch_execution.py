@@ -1,8 +1,11 @@
-"""End-to-end batch execution proof: builtin pools + business-logic AIRs.
+"""End-to-end batch execution proof: builtin pools + business-logic AIRs (v2).
 
 The heavyweight builtin STARKs are covered by test_commitment_proofs /
-test_batch_builtins; here they run in collect-only mode and the new
-fulfillment/position AIR proofs run for real over a mixed batch.
+test_batch_builtins; here they run in collect-only mode and the
+witnessed-schedule fulfillment/position bus AIR proofs run for real over a
+mixed batch. The schedules are private witness, so tampering is expressed
+against the PUBLIC surface (journals + claims tables) — which is all the
+verifier ever sees.
 """
 
 import pytest
@@ -37,58 +40,72 @@ def batch_world():
     return program_input
 
 
-def test_prove_and_verify_batch_execution(batch_world):
-    from stark_perpetual_tpu.models.perpetual.prove import (
-        prove_batch_execution,
-        verify_batch_execution,
+@pytest.fixture(scope="module")
+def proven(batch_world):
+    from stark_perpetual_tpu.models.perpetual.prove import prove_batch_execution
+
+    return prove_batch_execution(
+        batch_world, blowup=4, n_queries=2, prove_builtins=False
     )
 
-    proofs, result = prove_batch_execution(
-        batch_world, blowup=4, n_queries=4, prove_builtins=False
-    )
+
+def test_prove_and_verify_batch_execution(proven):
+    from stark_perpetual_tpu.models.perpetual.prove import verify_batch_execution
+
+    proofs, _result = proven
     assert proofs.fulfillment_proof is not None
     assert proofs.position_proof is not None
     assert proofs.fulfillment_n_accesses == 2  # one per order side
     assert len(proofs.fulfillment_claims) == 2  # two distinct signed orders
     assert len(proofs.fulfillment_journal) == 2
     # The deposit + trade touch both positions' collateral and BTC cells.
-    assert len(proofs.position_accesses) >= 6
+    assert proofs.position_n_accesses >= 6
+    cells = set(proofs.position_journal)
+    assert len({pid for pid, _tag, _aid in cells}) >= 3  # alice, bob, fee pos
     assert verify_batch_execution(proofs)
 
 
-def test_mutated_schedule_fails_verification(batch_world):
-    from dataclasses import replace as dc_replace
+def test_mutated_public_surface_fails_verification(proven):
+    from stark_perpetual_tpu.models.perpetual.prove import verify_batch_execution
 
-    from stark_perpetual_tpu.models.perpetual.prove import (
-        prove_batch_execution,
-        verify_batch_execution,
-    )
-
-    proofs, _result = prove_batch_execution(
-        batch_world, blowup=4, n_queries=4, prove_builtins=False
-    )
-    # Mutate a journal final amount (what the orders-tree update consumes):
-    # the bus AIR's final-side lookup no longer closes.
+    proofs, _result = proven
+    # Mutate a fulfillment journal final amount (what the orders-tree update
+    # consumes): the bus AIR's final-side lookup no longer closes.
     oid0 = next(iter(proofs.fulfillment_journal))
     v0, v1 = proofs.fulfillment_journal[oid0]
     bad_journal = dict(proofs.fulfillment_journal)
     bad_journal[oid0] = (v0, v1 + 1)
-    bad = dc_replace_proofs(proofs, fulfillment_journal=bad_journal)
-    assert not verify_batch_execution(bad)
-    # Mutate one position delta.
-    tampered_pos = list(proofs.position_accesses)
-    tampered_pos[0] = dc_replace(tampered_pos[0], operand=tampered_pos[0].operand + 1)
-    bad = dc_replace_proofs(proofs, position_accesses=tampered_pos)
-    assert not verify_batch_execution(bad)
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, fulfillment_journal=bad_journal)
+    )
+    # Mutate a position journal final (what the position leaf hash consumes).
+    cell = next(iter(proofs.position_journal))
+    p0, p1 = proofs.position_journal[cell]
+    bad_pos_journal = dict(proofs.position_journal)
+    bad_pos_journal[cell] = (p0, p1 + 1)
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, position_journal=bad_pos_journal)
+    )
+    # Mutate one transaction-update claim operand: the upd-claims lookup
+    # tuple changes under the proof.
+    pid, tag, aid, kcode, op, mu = proofs.position_upd_claims[0]
+    bad_upd = [(pid, tag, aid, kcode, op + 1, mu)] + list(
+        proofs.position_upd_claims[1:]
+    )
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, position_upd_claims=bad_upd)
+    )
     # Claim a message hash that was never signature-verified.
     msg, oid, ful, mu = proofs.fulfillment_claims[0]
     bad_claims = [(12345, oid, ful, mu)] + list(proofs.fulfillment_claims[1:])
-    bad = dc_replace_proofs(proofs, fulfillment_claims=bad_claims)
-    assert not verify_batch_execution(bad)
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, fulfillment_claims=bad_claims)
+    )
     # Mutate a claimed full amount: the sig-side lookup tuple changes.
     bad_claims = [(msg, oid, ful + 1, mu)] + list(proofs.fulfillment_claims[1:])
-    bad = dc_replace_proofs(proofs, fulfillment_claims=bad_claims)
-    assert not verify_batch_execution(bad)
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, fulfillment_claims=bad_claims)
+    )
 
 
 def dc_replace_proofs(proofs, **kw):
@@ -97,12 +114,12 @@ def dc_replace_proofs(proofs, **kw):
     return replace(proofs, **kw)
 
 
-def test_funding_totals_validated():
-    """Every 'adj' operand must equal its funding event's per-asset terms
-    (g_idx - cached) * balance; a tampered total or a 'fund'->'upd' phase
-    flip must fail verification (funding.cairo:31-127)."""
-    from dataclasses import replace as dc_replace
-
+def test_funding_public_surface():
+    """A batch with a funding tick: the (epoch, asset) -> index table and
+    (position, epoch) event table are the public surface (the in-proof
+    tamper rejection of these tables is covered by test_position_bus.py's
+    handcrafted schedules; here the ENGINE-produced surface shape and the
+    host cross-links are checked)."""
     import test_perpetual_engine as E
     from stark_perpetual_tpu.models.perpetual import engine as PE
     from stark_perpetual_tpu.models.perpetual.prove import (
@@ -144,25 +161,15 @@ def test_funding_totals_validated():
     proofs, _result = prove_batch_execution(
         program_input, prove=False, prove_builtins=False
     )
-    # The funding application produced a nonzero adjustment: position 1
-    # holds 10 BTC at cached index 0, global index 7 -> total = 70.
-    adj = [a for a in proofs.position_accesses if a.kind == "adj" and a.operand]
-    assert adj and adj[0].operand == 70
-    assert verify_batch_execution(proofs)
-
-    idx = proofs.position_accesses.index(adj[0])
-    tampered = list(proofs.position_accesses)
-    tampered[idx] = dc_replace(adj[0], operand=adj[0].operand + 1)
-    assert not verify_batch_execution(
-        dc_replace_proofs(proofs, position_accesses=tampered)
+    # Public surface shape: epoch 1 pins BTC's index at 7, and position 1
+    # has exactly one funding-application event in epoch 1.
+    assert (1, E.BTC, 7, 1) in [
+        (e, a, g, mu) for e, a, g, mu in proofs.position_fund_claims
+    ]
+    assert any(
+        pid == 1 and eid == 1 for pid, eid, _mu in proofs.position_event_claims
     )
-    # Phase flip on a funding idx write drops its term from the total.
-    fidx = next(
-        i for i, a in enumerate(proofs.position_accesses)
-        if a.kind == "idx" and a.phase == "fund"
-    )
-    tampered2 = list(proofs.position_accesses)
-    tampered2[fidx] = dc_replace(tampered2[fidx], phase="upd")
-    assert not verify_batch_execution(
-        dc_replace_proofs(proofs, position_accesses=tampered2)
-    )
+    # Funding application: (7 - 0) * 10 BTC -> total 70 is the 'adj' payload;
+    # its in-trace binding is test_position_bus.py's job, but the claims
+    # surface must expose the epoch/asset mapping consistently.
+    assert verify_batch_execution(proofs)  # host cross-links (no proofs)
