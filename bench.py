@@ -247,7 +247,13 @@ def bench_batch_execution_prove() -> None:
     """Business-logic proofs of a mixed perpetual batch end to end: the
     witnessed-schedule fulfillment bus AIR + the position-cell AIR over a
     deposit + trade + funding batch (builtin pools collected, not proven —
-    they have their own metric above)."""
+    they have their own metric above).
+
+    Traced under the 'columns' mont_mul lowering: the bus AIRs' composition
+    programs carry ~70 constraints x dozens of field muls, and the unrolled
+    CIOS graph takes the remote compile service an hour+; columns compiles
+    ~4x faster at a runtime cost the compile savings dwarf."""
+    os.environ["STARK_TPU_MONT_MUL"] = "columns"
     from stark_perpetual_tpu.models.perpetual.prove import (
         prove_batch_execution,
         verify_batch_execution,

@@ -325,6 +325,9 @@ def execute_limit_order(
             position_id=order.position_id,
             asset_id_synthetic=order.asset_id_synthetic,
             fee_position_id=config.fee_position_info.position_id,
+            nonce=order.base.nonce,
+            expiration_timestamp=order.base.expiration_timestamp,
+            asset_id_collateral=order.asset_id_collateral,
         )
     )
 

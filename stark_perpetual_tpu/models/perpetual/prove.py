@@ -186,13 +186,16 @@ class BatchExecutionProofs:
     position_event_claims: list  # [(pid, epoch, mult)]
     position_n_accesses: int
     position_proof: Optional[object]
-    # Order-link AIR (order_link_air.py): fairness/range/delta production of
-    # every limit-order execution, consuming the fulfillment claims and
-    # producing the trade subset of the position update claims.
+    # Order-link AIR (order_link_air.py): fairness/range/delta production and
+    # message-field binding of every limit-order execution, consuming the
+    # fulfillment claims, producing the trade subset of the position update
+    # claims, and looking its hash chains up in the pedersen pool.
     order_link_fc_claims: list = None  # [(msg, oid, full, mult)]
     order_link_upd_claims: list = None  # [(pid, tag, aid, 0, op, mult)]
+    order_link_pool_claims: list = None  # [(a, b, h, mult)]
     order_link_n_execs: int = 0
     order_link_fee_position_id: int = 0
+    order_link_collateral_asset_id: int = 0
     order_link_proof: Optional[object] = None
 
 
@@ -290,12 +293,16 @@ def prove_batch_execution(
     )
 
     link_air = None
-    link_fc, link_upd = [], []
+    link_fc, link_upd, link_pool = [], [], []
     fee_pid = program_input.general_config.fee_position_info.position_id
+    acoll_id = program_input.general_config.collateral_asset_info.asset_id
     if result.order_exec_log:
-        link_fc, link_upd = order_link_public_surface(result.order_exec_log)
+        link_fc, link_upd, link_pool = order_link_public_surface(
+            result.order_exec_log
+        )
         link_air = OrderLinkAir(
-            link_fc, link_upd, fee_pid, len(result.order_exec_log)
+            link_fc, link_upd, link_pool, fee_pid, acoll_id,
+            len(result.order_exec_log),
         )
         assert sorted(link_fc) == sorted(ful_claims), (
             "order-link consumed claims != fulfillment claims"
@@ -303,6 +310,13 @@ def prove_batch_execution(
         assert _multiset_contained(link_upd, pos_upd), (
             "order-link produced updates not in the position claims"
         )
+        pool_set = set(
+            zip(builtin_proofs.pedersen_pairs, builtin_proofs.pedersen_outputs)
+        )
+        for a, b, h, _mu in link_pool:
+            assert ((a, b), h) in pool_set, (
+                "order-link hash-chain row not in the pedersen pool"
+            )
 
     link_proof = None
     if prove:
@@ -343,8 +357,10 @@ def prove_batch_execution(
             position_proof=pos_proof,
             order_link_fc_claims=link_fc,
             order_link_upd_claims=link_upd,
+            order_link_pool_claims=link_pool,
             order_link_n_execs=len(result.order_exec_log),
             order_link_fee_position_id=fee_pid,
+            order_link_collateral_asset_id=acoll_id,
             order_link_proof=link_proof,
         ),
         result,
@@ -429,12 +445,22 @@ def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
             proofs.order_link_upd_claims, proofs.position_upd_claims
         ):
             return False
+        # Every referenced hash-chain row must be a proven pedersen
+        # obligation of THIS batch (message binding rides the pool proof).
+        pool_set = set(
+            zip(proofs.builtins.pedersen_pairs, proofs.builtins.pedersen_outputs)
+        )
+        for a, b, h, _mu in proofs.order_link_pool_claims:
+            if ((a, b), h) not in pool_set:
+                return False
         if proofs.order_link_proof is not None:
             try:
                 air = OrderLinkAir(
                     proofs.order_link_fc_claims,
                     proofs.order_link_upd_claims,
+                    proofs.order_link_pool_claims,
                     proofs.order_link_fee_position_id,
+                    proofs.order_link_collateral_asset_id,
                     proofs.order_link_n_execs,
                 )
             except AssertionError:

@@ -19,7 +19,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from stark_perpetual_tpu.ops.pedersen import pedersen_hash_batch, pedersen_hash_ints
+from stark_perpetual_tpu.ops.pedersen import pedersen_hash_ints
 
 
 def dense_commit_device(leaf_limbs) -> Tuple[int, list]:
@@ -36,14 +36,17 @@ def dense_commit_device(leaf_limbs) -> Tuple[int, list]:
 
     f = stark_prime_field()
     levels = [np.asarray(leaf_limbs)]
-    cur = jnp.asarray(leaf_limbs)
+    cur = np.asarray(leaf_limbs)
     if jax.default_backend() != "cpu":
-        fn = pedersen_hash_batch()
+        from stark_perpetual_tpu.ops.pedersen import pedersen_hash_limbs_chunked
+
         while cur.shape[0] > 128:
             pairs = cur.reshape(cur.shape[0] // 2, 2, cur.shape[-1])
-            h, ok = fn(pairs[:, 0], pairs[:, 1])
+            # Fixed-shape chunked calls: one compiled executable serves every
+            # level size (per-shape Pallas compiles dominated prover wall).
+            h, _bad = pedersen_hash_limbs_chunked(pairs[:, 0], pairs[:, 1])
             cur = h
-            levels.append(np.asarray(h))
+            levels.append(h)
     # Finish on host ints (on a CPU backend the whole tree hashes here:
     # every level is a new shape, and one XLA compile per level dwarfs the
     # native-library hashing time).

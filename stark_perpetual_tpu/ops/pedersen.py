@@ -214,6 +214,54 @@ def _pad_batch(arr: np.ndarray, multiple: int = 64) -> np.ndarray:
 
 _NATIVE_CUTOVER = 1024  # below this, the native host lib beats device dispatch
 
+# Fixed device-call shape for the int funnel and the Merkle engines: every
+# batched hash call pads/chunks to this lane count so exactly ONE Pallas
+# (or XLA) executable serves all of them. Pallas kernels do not land in the
+# persistent compile cache on this stack, so per-shape specialization costs
+# a full remote compile (~45s each through the axon service); a proof run
+# touches ~10 level/layer sizes, which made shape-specialized hashing the
+# dominant wall-time term of the device prover.
+_CHUNK = 4096
+
+
+@functools.lru_cache(maxsize=1)
+def _pedersen_chunk_fn():
+    msm = _pedersen_msm()
+
+    def impl(a_limbs, b_limbs):
+        digits = jnp.concatenate(
+            [byte_windows(a_limbs), byte_windows(b_limbs)], axis=-1
+        )
+        acc, bad = msm.accumulate(digits)
+        x_mont, _ = msm.curve.to_affine(acc)
+        return msm.f.from_mont(x_mont), bad
+
+    return jax.jit(impl)
+
+
+def pedersen_hash_limbs_chunked(a_limbs: np.ndarray, b_limbs: np.ndarray):
+    """Batched 2-ary Pedersen over (N, 21) limb arrays in fixed-shape chunks.
+
+    Returns (hash_limbs (N, 21) np.ndarray, any_bad bool). One compiled
+    executable (shape (_CHUNK, 21)) serves every call site and every N.
+    """
+    n = a_limbs.shape[0]
+    fn = _pedersen_chunk_fn()
+    outs = []
+    any_bad = False
+    for lo in range(0, n, _CHUNK):
+        a = np.asarray(a_limbs[lo : lo + _CHUNK])
+        b = np.asarray(b_limbs[lo : lo + _CHUNK])
+        k = a.shape[0]
+        if k < _CHUNK:
+            pad = np.zeros((_CHUNK - k, a.shape[1]), dtype=a.dtype)
+            a = np.concatenate([a, pad])
+            b = np.concatenate([b, pad])
+        h, bad = fn(jnp.asarray(a), jnp.asarray(b))
+        outs.append(np.asarray(h)[:k])
+        any_bad = any_bad or bool(np.asarray(bad)[:k].any())
+    return np.concatenate(outs, axis=0), any_bad
+
 # Active obligation logs (see pedersen_call_log). Every batched 2-ary hash
 # in the framework funnels through pedersen_hash_ints, so recording here
 # captures the complete pedersen-builtin obligation set of any computation:
@@ -264,11 +312,11 @@ def _pedersen_hash_ints(pairs: Sequence[Tuple[int, int]]) -> List[int]:
         if out is not None:
             return out
     f = stark_prime_field()
-    a = _pad_batch(f.pack([a for a, _ in pairs]))
-    b = _pad_batch(f.pack([b for _, b in pairs]))
-    h, ok = pedersen_hash_batch()(a, b)
-    assert bool(np.all(np.asarray(ok)[:n])), "Unhashable input."
-    return [int(v) for v in f.unpack(h)[:n]]
+    a = f.pack([a for a, _ in pairs])
+    b = f.pack([b for _, b in pairs])
+    h, any_bad = pedersen_hash_limbs_chunked(a, b)
+    assert not any_bad, "Unhashable input."
+    return [int(v) for v in f.unpack(h)]
 
 
 def private_to_stark_key_ints(privs: Sequence[int]) -> List[int]:
