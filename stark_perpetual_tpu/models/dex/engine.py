@@ -247,6 +247,11 @@ class DexCarriedState:
         # order record: (order_id, update_amount, full_amount, signed)
         self.vault_access_log: List[tuple] = []
         self.order_access_log: List[tuple] = []
+        # L2 with-fee limit-order execution records
+        # (settlement_link_air.DexOrderExecRecord): the witness of the DEX
+        # order-link AIR binding ratio/fee fairness, vault diffs and the
+        # signed message fields.
+        self.order_exec_log: List[object] = []
 
     def get_vault(self, vault_id: int) -> L2VaultState:
         return self.vaults.get(vault_id, EMPTY_VAULT)
@@ -396,6 +401,36 @@ def execute_limit_order(
         (order_id, amount_sold, order.amount_sell, not order.is_l1)
     )
     state.update_order(order_id, prev_fulfilled, new_fulfilled)
+
+    if order.with_fee and not order.is_l1:
+        from stark_perpetual_tpu.models.dex.settlement_link_air import (
+            DexOrderExecRecord,
+        )
+
+        fee = fee_info_exchange
+        state.order_exec_log.append(
+            DexOrderExecRecord(
+                order_id=order_id,
+                amount_sell=order.amount_sell,
+                amount_buy=order.amount_buy,
+                amount_fee=order.amount_fee,
+                amount_sold=amount_sold,
+                amount_bought=amount_bought,
+                fee_taken=fee.fee_taken if fee else 0,
+                has_fee=1 if fee else 0,
+                vault_sell=order.vault_sell,
+                vault_buy=order.vault_buy,
+                vault_fee=order.vault_fee,
+                vault_dst=fee.destination_vault_id if fee else 0,
+                dst_key=fee.destination_stark_key if fee else 0,
+                public_key=order.base.public_key,
+                token_sell=order.asset_id_sell,
+                token_buy=order.asset_id_buy,
+                token_fee=order.asset_id_fee,
+                nonce=order.base.nonce,
+                expiration_timestamp=order.base.expiration_timestamp,
+            )
+        )
 
 
 def _serialize_l1_limit_order(order: LimitOrder) -> Tuple[int, ...]:
@@ -629,6 +664,7 @@ class DexRunResult:
     vault_access_log: Optional[List[tuple]] = None
     order_access_log: Optional[List[tuple]] = None
     order_journal: Optional[Dict[int, Tuple[int, int]]] = None
+    order_exec_log: Optional[List[object]] = None
     l1_min_balances: Optional[Dict[Tuple[int, int, int], int]] = None
     l1_final_balances: Optional[Dict[Tuple[int, int, int], int]] = None
 
@@ -755,6 +791,7 @@ def run_dex_program(program_input: DexProgramInput) -> DexRunResult:
         vault_access_log=list(state.vault_access_log),
         order_access_log=list(state.order_access_log),
         order_journal=dict(state.order_journal),
+        order_exec_log=list(state.order_exec_log),
         l1_min_balances=dict(state.l1_min_balances),
         l1_final_balances=dict(state.l1_balances),
         roots=dict(

@@ -106,9 +106,11 @@ class DexExecutionProofs:
 
     Mirrors the perpetual BatchExecutionProofs (models/perpetual/prove.py):
     the order-fulfillment accounting (execute_limit_order.cairo:204-357,
-    transfers, unique minting) as a FulfillmentAir proof and the vault
+    transfers, unique minting) as a FulfillmentAir proof, the vault
     accounting (vault_update.cairo, l1_vault_update.cairo) as a
-    DexVaultCellAir proof.
+    DexVaultCellAir proof, and every L2 with-fee limit-order execution as a
+    DexOrderLinkAir proof (ratio/fee fairness, windows, vault-diff
+    production, message-field binding via pedersen-pool lookups).
     """
 
     builtins: BatchBuiltinProofs
@@ -124,6 +126,14 @@ class DexExecutionProofs:
     vault_initial: dict
     vault_final: dict
     vault_proof: Optional[object]
+    # Settlement-link AIR (settlement_link_air.py): ratio/fee fairness,
+    # windows, vault-diff production and message binding of every L2
+    # with-fee limit-order execution. L1/legacy claims stay host-justified.
+    link_oc_claims: list = None  # [(msg, oid, full, mult)]
+    link_diff_claims: list = None  # [(key, token, vault, delta, mult)]
+    link_pool_claims: list = None  # [(a, b, h, mult)]
+    link_n_execs: int = 0
+    link_proof: Optional[object] = None
 
 
 def _order_air_feed(result):
@@ -216,7 +226,34 @@ def prove_dex_execution(
             canon = (0, 0, 0) if (cell[0] == "l2" and b == 0) else (b, k, t)
             assert vlt_final.get(cell, (0, 0, 0)) == canon, cell
 
-    ord_proof = vlt_proof = None
+    # Settlement-link AIR over the L2 with-fee execution records.
+    from stark_perpetual_tpu.models.dex.settlement_link_air import (
+        DexOrderLinkAir,
+        dex_link_public_surface,
+    )
+
+    link_air = None
+    link_oc, link_df, link_pool = [], [], []
+    if result.order_exec_log:
+        link_oc, link_df, link_pool = dex_link_public_surface(result.order_exec_log)
+        link_air = DexOrderLinkAir(
+            link_oc, link_df, link_pool, len(result.order_exec_log)
+        )
+        assert _multiset_contained_rows(link_oc, ord_claims), (
+            "link consumed claims not in the order claims"
+        )
+        assert _diffs_covered(link_df, result.vault_access_log), (
+            "link produced diffs not in the vault access log"
+        )
+        pool_set = set(
+            zip(builtin_proofs.pedersen_pairs, builtin_proofs.pedersen_outputs)
+        )
+        for a, b, h, _mu in link_pool:
+            assert ((a, b), h) in pool_set, (
+                "link hash-chain row not in the pedersen pool"
+            )
+
+    ord_proof = vlt_proof = link_proof = None
     if prove:
         import jax
 
@@ -230,6 +267,11 @@ def prove_dex_execution(
             vlt_proof = StarkProver(vlt_air, blowup=blowup, n_queries=n_queries).prove(
                 vlt_air.trace()
             )
+        if link_air is not None:
+            jax.clear_caches()
+            link_proof = StarkProver(
+                link_air, blowup=max(blowup, 4), n_queries=n_queries
+            ).prove(link_air.trace(result.order_exec_log))
 
     return (
         DexExecutionProofs(
@@ -242,9 +284,58 @@ def prove_dex_execution(
             vault_initial=vlt_initial,
             vault_final=vlt_final,
             vault_proof=vlt_proof,
+            link_oc_claims=link_oc,
+            link_diff_claims=link_df,
+            link_pool_claims=link_pool,
+            link_n_execs=len(result.order_exec_log),
+            link_proof=link_proof,
         ),
         result,
     )
+
+
+def _multiset_contained_rows(sub, full) -> bool:
+    """Every (key, mult) row of `sub` is covered by `full`."""
+    from collections import Counter
+
+    have: Counter = Counter()
+    for row in full:
+        have[tuple(row[:-1])] += row[-1]
+    for row in sub:
+        have[tuple(row[:-1])] -= row[-1]
+    return all(v >= 0 for v in have.values())
+
+
+def _diffs_covered(diff_claims, vault_access_log) -> bool:
+    """Every produced (key, token, vault, delta, mult) is matched by 'l2'
+    diff records of the raw vault access log."""
+    from collections import Counter
+
+    from stark_perpetual_tpu.params import FIELD_PRIME
+
+    have: Counter = Counter()
+    for space, cell, kind, key, token, op1, _op2 in vault_access_log:
+        if space == "l2" and kind == "diff":
+            have[(key, token, cell, op1 % FIELD_PRIME)] += 1
+    for key, token, vault, delta, mu in diff_claims:
+        have[(key, token, vault, delta)] -= mu
+    return all(v >= 0 for v in have.values())
+
+
+def _diffs_covered_typed(diff_claims, vault_accesses) -> bool:
+    """Same check over the typed VaultAccess rows (the vault AIR's public
+    schedule, which the verifier holds)."""
+    from collections import Counter
+
+    from stark_perpetual_tpu.params import FIELD_PRIME
+
+    have: Counter = Counter()
+    for a in vault_accesses:
+        if a.cell[0] == "l2" and a.kind == "diff":
+            have[(a.stark_key, a.token_id, a.cell[1], a.op1 % FIELD_PRIME)] += 1
+    for key, token, vault, delta, mu in diff_claims:
+        have[(key, token, vault, delta)] -= mu
+    return all(v >= 0 for v in have.values())
 
 
 def verify_dex_execution(proofs: DexExecutionProofs) -> bool:
@@ -284,4 +375,31 @@ def verify_dex_execution(proofs: DexExecutionProofs) -> bool:
         )
         if not verify_stark(air, proofs.vault_proof):
             return False
+    if proofs.link_n_execs:
+        from stark_perpetual_tpu.models.dex.settlement_link_air import (
+            DexOrderLinkAir,
+        )
+
+        if not _multiset_contained_rows(proofs.link_oc_claims, proofs.order_claims):
+            return False
+        if not _diffs_covered_typed(proofs.link_diff_claims, proofs.vault_accesses):
+            return False
+        pool_set = set(
+            zip(proofs.builtins.pedersen_pairs, proofs.builtins.pedersen_outputs)
+        )
+        for a, b, h, _mu in proofs.link_pool_claims:
+            if ((a, b), h) not in pool_set:
+                return False
+        if proofs.link_proof is not None:
+            try:
+                air = DexOrderLinkAir(
+                    proofs.link_oc_claims,
+                    proofs.link_diff_claims,
+                    proofs.link_pool_claims,
+                    proofs.link_n_execs,
+                )
+            except AssertionError:
+                return False
+            if not verify_stark(air, proofs.link_proof):
+                return False
     return True

@@ -133,20 +133,28 @@ class NttOps:
     def _jit_four_step(self, n: int, r_total: int, c_total: int, inverse: bool, domain: str):
         f = self.f
         n_tc = c_total.bit_length() - 1
+        n_bits_c = n_tc
 
-        def impl(x, tw_bases, perm_c, perm_r, *tables):
+        def impl(x, tw_bits, perm_c, perm_r, *tables):
             tc, tr = tables[:n_tc], tables[n_tc:]
             if domain == "std":
                 x = f.to_mont(x)
             a = x.reshape(c_total, r_total, N_LIMBS).swapaxes(0, 1)  # A[r, c]
             b = _ntt_mont(a, c_total, inverse, f, perm_c, tc)
-            # Twiddle w_N^{r*s} = (w_N^{+-r})^s: geometric along s per row.
-            one_m = jnp.asarray(f.pack((1 << 252) % FIELD_PRIME))
-            base = jnp.broadcast_to(tw_bases[:, None, :], (r_total, c_total, N_LIMBS))
-            prefix = jax.lax.associative_scan(f.mont_mul, base, axis=1)
-            ones = jnp.broadcast_to(one_m, (r_total, 1, N_LIMBS))
-            tw_full = jnp.concatenate([ones, prefix[:, :-1]], axis=1)
-            b = f.mont_mul(b, tw_full)
+            # Twiddle b[r, s] *= w_N^{r*s} via the bits of s: for each bit
+            # position k, multiply the s-columns with bit k set by
+            # tw_bits[k, r] = w_N^{r*2^k}. log2(C) broadcast passes instead
+            # of materializing the (R, C) twiddle table (whose in-graph
+            # prefix-scan temporaries exceed HBM at 2^24: 12 scan stages
+            # x 1.4 GB).
+            s_idx = jnp.arange(c_total, dtype=jnp.int32)
+            for k in range(n_bits_c):
+                factor = jnp.broadcast_to(
+                    tw_bits[k][:, None, :], (r_total, c_total, N_LIMBS)
+                )
+                mult = f.mont_mul(b, factor)
+                mask = ((s_idx >> k) & 1)[None, :, None] == 1
+                b = jnp.where(mask, mult, b)
             y = _ntt_mont(b.swapaxes(0, 1), r_total, inverse, f, perm_r, tr)  # (C, R)
             out = y.swapaxes(0, 1).reshape(n, N_LIMBS)  # X[q*C + s] = y[s, q]
             if domain == "std":
@@ -156,16 +164,22 @@ class NttOps:
         return jax.jit(impl)
 
     @functools.lru_cache(maxsize=None)
-    def _four_step_tw_bases(self, n: int, r_total: int, inverse: bool) -> jnp.ndarray:
+    def _four_step_tw_bits(
+        self, n: int, r_total: int, c_total: int, inverse: bool
+    ) -> jnp.ndarray:
+        """(log2(C), R, 21) Montgomery limbs of w_N^{r * 2^k} (host-built)."""
         w = root_of_unity(n)
         if inverse:
             w = pow(w, n - 1, FIELD_PRIME)
-        vals = [1]
-        for _ in range(r_total - 1):
-            vals.append(vals[-1] * w % FIELD_PRIME)
-        return jax.device_put(
-            jnp.asarray(pack_ints([(v << 252) % FIELD_PRIME for v in vals]))
-        )
+        n_bits = c_total.bit_length() - 1
+        out = np.zeros((n_bits, r_total, N_LIMBS), dtype=np.int32)
+        for k in range(n_bits):
+            wk = pow(w, 1 << k, FIELD_PRIME)
+            vals = [1]
+            for _ in range(r_total - 1):
+                vals.append(vals[-1] * wk % FIELD_PRIME)
+            out[k] = pack_ints([(v << 252) % FIELD_PRIME for v in vals])
+        return jax.device_put(jnp.asarray(out))
 
     def _run(self, x: jnp.ndarray, n: int, inverse: bool, domain: str) -> jnp.ndarray:
         if n >= self.FOUR_STEP_THRESHOLD and x.ndim == 2:
@@ -173,7 +187,7 @@ class NttOps:
             c_total = n // r_total
             return self._jit_four_step(n, r_total, c_total, inverse, domain)(
                 x,
-                self._four_step_tw_bases(n, r_total, inverse),
+                self._four_step_tw_bits(n, r_total, c_total, inverse),
                 _bitrev_dev(c_total),
                 _bitrev_dev(r_total),
                 *(_stage_twiddles(c_total, inverse) + _stage_twiddles(r_total, inverse)),

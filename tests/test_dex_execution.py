@@ -22,8 +22,15 @@ def dex_batch():
         3: D.L2VaultState(T.PUB["bob"], T.TOKEN_B, 500),
         4: D.L2VaultState(T.PUB["bob"], T.TOKEN_A, 0),
     }
-    a = T._signed_order("alice", 1, 2, 100, 40, T.TOKEN_A, T.TOKEN_B, nonce=1)
+    # Party a pays an exchange fee (fee asset = token_sell, from vault 1 to
+    # bob's TOKEN_A vault): exercises the link AIR's fee ratio + d3/d4 buses.
+    a = T._signed_order(
+        "alice", 1, 2, 100, 40, T.TOKEN_A, T.TOKEN_B, nonce=1, fee=5, vault_fee=1
+    )
     b = T._signed_order("bob", 3, 4, 40, 100, T.TOKEN_B, T.TOKEN_A, nonce=2)
+    a_fee = D.FeeInfoExchange(
+        fee_taken=2, destination_vault_id=4, destination_stark_key=T.PUB["bob"]
+    )
 
     # L1 leg: alice sells TOKEN_A for TOKEN_B against an eth-key order.
     eth_key = 0xA4864D977B944315389D1765FFA7E66F74EE8CD7
@@ -48,10 +55,10 @@ def dex_batch():
     transfer = replace(transfer, base=replace(tbase, signature_r=r, signature_s=s))
 
     txs = [
-        D.Settlement(a, b, party_a_sold=100, party_b_sold=40),
+        D.Settlement(a, b, party_a_sold=100, party_b_sold=40, party_a_fee_info=a_fee),
         D.Settlement(a2, l1, party_a_sold=50, party_b_sold=20),
         transfer,
-        D.Modification(T.PUB["alice"], T.TOKEN_A, 1, 840, 2000),
+        D.Modification(T.PUB["alice"], T.TOKEN_A, 1, 838, 2000),
         D.Mint(T.PUB["bob"], D.MINTING_BIT + 77, 9),
     ]
     return D.DexProgramInput(
@@ -87,6 +94,20 @@ def test_prove_and_verify_dex_execution(proven):
     assert kinds == {"diff", "set"}
     spaces = {a.cell[0] for a in proofs.vault_accesses}
     assert spaces == {"l1", "l2"}
+    # Settlement link: the three L2 with-fee executions (a, b, a2) carry
+    # real proofs; the L1 leg stays host-justified.
+    assert proofs.link_n_execs == 3
+    assert proofs.link_proof is not None
+    # Three 4-hash chains; orders a and a2 share the h(TOKEN_A, TOKEN_B)
+    # and fee-asset prefixes, so two rows carry multiplicity 2.
+    assert len(proofs.link_pool_claims) == 10
+    assert sum(mu for *_k, mu in proofs.link_pool_claims) == 12
+    # The taken fee shows up as produced diffs (-2 from vault 1, +2 to 4).
+    from stark_perpetual_tpu.params import FIELD_PRIME
+
+    diffs = {(k, t, v, d) for k, t, v, d, _mu in proofs.link_diff_claims}
+    assert (T.PUB["alice"], T.TOKEN_A, 1, (-2) % FIELD_PRIME) in diffs
+    assert (T.PUB["bob"], T.TOKEN_A, 4, 2) in diffs
     assert verify_dex_execution(proofs)
     # Final balances agree with the engine run.
     assert result.final_vaults[1].balance == 2000
@@ -122,6 +143,18 @@ def test_tampered_dex_schedules_fail(proven):
     some_l2 = next(c for c in bad_final if c[0] == "l2")
     bad_final[some_l2] = (0, 777, 888)
     assert not verify_dex_execution(dc(proofs, vault_final=bad_final))
+
+    # Settlement-link public tables: a tampered produced diff, a tampered
+    # consumed claim, and a tampered pool row must all fail verification.
+    k0, t0, v0_, d0, mu0 = proofs.link_diff_claims[0]
+    bad_df = [(k0, t0, v0_, d0 + 1, mu0)] + list(proofs.link_diff_claims[1:])
+    assert not verify_dex_execution(dc(proofs, link_diff_claims=bad_df))
+    m0, o0, f0, muc = proofs.link_oc_claims[0]
+    bad_oc = [(m0, o0, f0 + 1, muc)] + list(proofs.link_oc_claims[1:])
+    assert not verify_dex_execution(dc(proofs, link_oc_claims=bad_oc))
+    a0, b0, h0, mup = proofs.link_pool_claims[0]
+    bad_pool = [(a0, b0, h0 + 1, mup)] + list(proofs.link_pool_claims[1:])
+    assert not verify_dex_execution(dc(proofs, link_pool_claims=bad_pool))
 
 
 def test_vault_air_guards():
