@@ -64,6 +64,12 @@ def test_rejects_tampered_witness():
 
 
 def test_sliver_input_raises():
-    air = PedersenBuiltinAir([(1 << 251, 1)], [0])
+    """Inputs in [2^251, p-1) are encodable since the 252-bit decomposition
+    with alias exclusion (hf/gf high-bit flags); only p-1 itself remains
+    unencodable (and the reference never hashes felts >= p either)."""
+    air = PedersenBuiltinAir([(FIELD_PRIME - 1, 1)], [0])
     with pytest.raises(ValueError):
         air.trace()
+    # The former limitation boundary now traces fine.
+    h = pedersen_hash(1 << 251, 1)
+    PedersenBuiltinAir([(1 << 251, 1)], [h]).trace()
