@@ -231,12 +231,18 @@ def bench_stark_prove() -> None:
     pairs = [(rng.randrange(1 << 251), rng.randrange(1 << 251)) for _ in range(8)]
     air = PedersenBuiltinAir(pairs, [_ph(a, b) for a, b in pairs])
     trace = air.trace()
+    prover = StarkProver(air, blowup=4, n_queries=16)
     t0 = time.time()
-    proof = StarkProver(air, blowup=4, n_queries=16).prove(trace)
+    proof = prover.prove(trace)  # warm-up: compiles + program loads
+    warm = time.time() - t0
+    assert verify_stark(air, proof)
+    t0 = time.time()
+    proof = prover.prove(trace)  # steady state (like every other metric)
     dt = time.time() - t0
     assert verify_stark(air, proof)
     print(
-        f"stark_prove: {dt:.1f}s for 8 hashes (incl. first-compile), "
+        f"stark_prove: {dt:.1f}s steady-state for 8 hashes "
+        f"(first prove incl. compiles/loads: {warm:.1f}s), "
         f"security {proof.security_bits} bits",
         file=sys.stderr,
     )
@@ -289,7 +295,7 @@ def main() -> int:
     secondaries = [
         ("ecdsa", bench_ecdsa, 95.0),
         ("ntt20", lambda: bench_ntt(20, TARGET_NTT20_WALL), 60.0),
-        ("ntt24", lambda: bench_ntt(24, TARGET_NTT24_WALL), 95.0),  # north star
+        ("ntt24", lambda: bench_ntt(24, TARGET_NTT24_WALL), 190.0),  # north star
         ("lde20", bench_lde, 75.0),
         ("stark_prove", bench_stark_prove, 730.0),
         ("batch_prove", bench_batch_execution_prove, 3200.0),
