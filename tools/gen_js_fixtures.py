@@ -17,14 +17,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    from stark_perpetual_tpu.crypto.signature import (
-        grind_key,
-        pedersen_hash,
-        private_to_stark_key,
-        sign,
-        verify,
-    )
+def build_params() -> dict:
     from stark_perpetual_tpu.params import (
         ALPHA,
         BETA,
@@ -32,22 +25,29 @@ def main() -> None:
         EC_ORDER,
         FIELD_PRIME,
     )
-    from stark_perpetual_tpu.public import perpetual_messages as PM
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-    import vectors as V
-
-    root = os.path.join(os.path.dirname(__file__), "..", "js")
-
-    params = {
+    return {
         "FIELD_PRIME": hex(FIELD_PRIME),
         "EC_ORDER": hex(EC_ORDER),
         "ALPHA": hex(ALPHA),
         "BETA": hex(BETA),
         "CONSTANT_POINTS": [[hex(x), hex(y)] for x, y in CONSTANT_POINTS],
     }
-    with open(os.path.join(root, "src", "pedersen_points.json"), "w") as f:
-        json.dump(params, f)
+
+
+def build_fixtures() -> dict:
+    from stark_perpetual_tpu.crypto.signature import (
+        grind_key,
+        pedersen_hash,
+        private_to_stark_key,
+        sign,
+        verify,
+    )
+    from stark_perpetual_tpu.params import EC_ORDER
+    from stark_perpetual_tpu.public import perpetual_messages as PM
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    import vectors as V
 
     signature_vectors = []
     for msg, priv, r, s, pub in V.SIGNATURE_VECTORS:
@@ -168,8 +168,15 @@ def main() -> None:
         for expected, asset in KA.ASSET_ID_FIXTURES.items()
     ]
 
+    return fixtures
+
+
+def main() -> None:
+    root = os.path.join(os.path.dirname(__file__), "..", "js")
+    with open(os.path.join(root, "src", "pedersen_points.json"), "w") as f:
+        json.dump(build_params(), f)
     with open(os.path.join(root, "test", "fixtures.json"), "w") as f:
-        json.dump(fixtures, f, indent=1, default=str)
+        json.dump(build_fixtures(), f, indent=1, default=str)
     print("wrote pedersen_points.json and fixtures.json")
 
 
