@@ -402,7 +402,10 @@ def execute_limit_order(
     )
     state.update_order(order_id, prev_fulfilled, new_fulfilled)
 
-    if order.with_fee and not order.is_l1:
+    if not order.is_l1:
+        # Both L2 formats feed the settlement-link AIR: with-fee orders
+        # walk the 4-hash chain, legacy (31-bit) orders the 2-hash chain
+        # with the legacy packed word reconstructed in-trace.
         from stark_perpetual_tpu.models.dex.settlement_link_air import (
             DexOrderExecRecord,
         )
@@ -429,6 +432,7 @@ def execute_limit_order(
                 token_fee=order.asset_id_fee,
                 nonce=order.base.nonce,
                 expiration_timestamp=order.base.expiration_timestamp,
+                is_legacy=0 if order.with_fee else 1,
             )
         )
 

@@ -108,9 +108,10 @@ class DexExecutionProofs:
     the order-fulfillment accounting (execute_limit_order.cairo:204-357,
     transfers, unique minting) as a FulfillmentAir proof, the vault
     accounting (vault_update.cairo, l1_vault_update.cairo) as a
-    DexVaultCellAir proof, and every L2 with-fee limit-order execution as a
-    DexOrderLinkAir proof (ratio/fee fairness, windows, vault-diff
-    production, message-field binding via pedersen-pool lookups).
+    DexVaultCellAir proof, and every L2 limit-order execution — with-fee
+    and legacy 31-bit formats — as a DexOrderLinkAir proof (ratio/fee
+    fairness, windows, vault-diff production, message-field binding via
+    pedersen-pool lookups).
     """
 
     builtins: BatchBuiltinProofs
@@ -128,7 +129,8 @@ class DexExecutionProofs:
     vault_proof: Optional[object]
     # Settlement-link AIR (settlement_link_air.py): ratio/fee fairness,
     # windows, vault-diff production and message binding of every L2
-    # with-fee limit-order execution. L1/legacy claims stay host-justified.
+    # limit-order execution (with-fee and legacy formats). L1 claims are
+    # justified by the on-chain order-message outputs.
     link_oc_claims: list = None  # [(msg, oid, full, mult)]
     link_diff_claims: list = None  # [(key, token, vault, delta, mult)]
     link_pool_claims: list = None  # [(a, b, h, mult)]
@@ -226,7 +228,9 @@ def prove_dex_execution(
             canon = (0, 0, 0) if (cell[0] == "l2" and b == 0) else (b, k, t)
             assert vlt_final.get(cell, (0, 0, 0)) == canon, cell
 
-    # Settlement-link AIR over the L2 with-fee execution records.
+    # Settlement-link AIR over the L2 execution records (with-fee and
+    # legacy formats; L1 legs stay out, justified by the on-chain order
+    # message outputs).
     from stark_perpetual_tpu.models.dex.settlement_link_air import (
         DexOrderLinkAir,
         dex_link_public_surface,

@@ -20,18 +20,27 @@ limit-order execution (dex execute_limit_order.cairo:204-357) proves:
     public diffs table through logUp buses; the verifier cross-checks that
     table against the vault AIR's public access schedule, so settlement
     vault moves are tied to proven-fair executions.
-  - **message binding**: four logUp lookups into the public pedersen-pool
-    table walk the with-fee order hash chain
-    (execute_limit_order.cairo:30-53 -> signature_message_hashes.cairo:39-104)
-        h1 = h(token_sell, token_buy); h2 = h(h1, token_fee);
-        h3 = h(h2, w4); order_id = h(h3, w5)
-    with w4 (amounts/nonce) and w5 (vaults/expiration) reconstructed
-    in-trace from the same columns the fairness constraints use.
+  - **message binding**: logUp lookups into the public pedersen-pool
+    table walk the order hash chain. Both L2 message formats are bound
+    in-trace, selected by a per-block witness flag `leg`:
+      - with-fee 64-bit format (execute_limit_order.cairo:30-53 ->
+        signature_message_hashes.cairo:39-104), four lookups:
+            h1 = h(token_sell, token_buy); h2 = h(h1, token_fee);
+            h3 = h(h2, w4); order_id = h(h3, w5)
+        with w4 (amounts/nonce) and w5 (vaults/expiration) reconstructed
+        in-trace from the same columns the fairness constraints use;
+      - legacy 31-bit format (message_hashes.cairo:56-97, type 0), two
+        lookups sharing the h1 row:
+            h1 = h(token_sell, token_buy); order_id = h(h1, wl)
+        with wl = vault_sell*2^210 + vault_buy*2^179 + amount_sell*2^116
+        + amount_buy*2^53 + nonce*2^22 + expiration reconstructed
+        in-trace, vaults additionally windowed to 31 bits (the legacy
+        bound) and has_fee forced to 0.
 
 Scope note: L1 orders (authorized by on-chain order messages, no
-signature) and the legacy 31-bit message format are outside this AIR;
-their claims rows are listed as `unlinked` public inputs and justified by
-the host cross-links (L1 order-message outputs / legacy-format hashes).
+signature — execute_limit_order.cairo:118-147) remain outside this AIR;
+their claims rows are justified by the L1 order-message outputs the
+verifier checks on-chain.
 """
 
 from dataclasses import dataclass
@@ -53,6 +62,14 @@ W5_VF = 1 << 177
 W5_VS = 1 << 113
 W5_VB = 1 << 49
 W5_EXP = 1 << 17
+# wl = vs*2^210 + vb*2^179 + AS*2^116 + AB*2^53 + nonce*2^22 + exp
+# (legacy packed word, type LEGACY_SETTLEMENT = 0: 31/31/63/63/31/22 bits,
+# exchange_messages._legacy_packed).
+WL_VS = 1 << 210
+WL_VB = 1 << 179
+WL_AS = 1 << 116
+WL_AB = 1 << 53
+WL_NON = 1 << 22
 
 BETA_SIG = 3  # order-claims tag (mirrors fulfillment_air.BETA_SIG)
 BETA_POOL = 5  # pedersen-pool lookup tag (mirrors perp order-link)
@@ -86,6 +103,7 @@ class DexOrderExecRecord:
     token_fee: int
     nonce: int
     expiration_timestamp: int
+    is_legacy: int = 0  # 1 -> legacy 31-bit format (no fee, 31-bit vaults)
 
     def packed_words(self) -> Tuple[int, int]:
         w4 = (self.amount_sell * W4_SELL + self.amount_buy * W4_BUY
@@ -94,11 +112,28 @@ class DexOrderExecRecord:
               + self.vault_buy * W5_VB + self.expiration_timestamp * W5_EXP)
         return w4, w5
 
+    def legacy_word(self) -> int:
+        """The legacy packed word from the same fields (mod p; meaningful
+        only when the legacy windows hold, which the AIR enforces for
+        legacy blocks)."""
+        return (
+            self.vault_sell * WL_VS + self.vault_buy * WL_VB
+            + self.amount_sell * WL_AS + self.amount_buy * WL_AB
+            + self.nonce * WL_NON + self.expiration_timestamp
+        ) % FIELD_PRIME
+
     def hash_chain(self) -> List[Tuple[int, int, int]]:
         from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash
 
-        w4, w5 = self.packed_words()
         h1 = fast_pedersen_hash(self.token_sell, self.token_buy)
+        if self.is_legacy:
+            wl = self.legacy_word()
+            msg = fast_pedersen_hash(h1, wl)
+            return [
+                (self.token_sell, self.token_buy, h1),
+                (h1, wl, msg),
+            ]
+        w4, w5 = self.packed_words()
         h2 = fast_pedersen_hash(h1, self.token_fee)
         h3 = fast_pedersen_hash(h2, w4)
         msg = fast_pedersen_hash(h3, w5)
@@ -152,7 +187,7 @@ def dex_link_public_surface(records: Sequence[DexOrderExecRecord]):
 class DexOrderLinkAir(Air):
     """Witnessed DEX limit-order executions against public claims tables.
 
-    Main columns (38):
+    Main columns (40):
       0 msg  1 AS  2 AB  3 AF  4 sold  5 bought  6 ftk  7 hf
       8 vs  9 vb  10 vf  11 vd  12 kdst  13 pk  14 ts  15 tb  16 tf
       17 nonce  18 expv  19 h1  20 h2  21 h3  22 w4  23 w5
@@ -160,11 +195,12 @@ class DexOrderLinkAir(Air):
       30 sD1  31 sD2 (128-bit fairness ladders)
       32..35 64-bit vault-id ladders (vs vb vf vd)
       36 snon (31b)  37 sexp (22b)
-    Interaction (10): inv_oc inv_d1..d4 inv_h1..h4 acc.
+      38 leg (legacy-format flag)  39 wl (legacy packed word)
+    Interaction (11): inv_oc inv_d1..d4 inv_h1..h4 inv_hl acc.
     """
 
-    n_columns = 38
-    n_interaction_columns = 10
+    n_columns = 40
+    n_interaction_columns = 11
     n_interaction_challenges = 3
     n_derived_challenges = 1
     transition_degree = 4
@@ -215,6 +251,14 @@ class DexOrderLinkAir(Air):
                 raise ValueError(f"expiration out of range: {r}")
             if r.has_fee not in (0, 1) or (not r.has_fee and ftk != 0):
                 raise ValueError(f"bad fee flag: {r}")
+            if r.is_legacy not in (0, 1):
+                raise ValueError(f"bad legacy flag: {r}")
+            if r.is_legacy and (
+                r.has_fee
+                or r.vault_sell >= (1 << 31)
+                or r.vault_buy >= (1 << 31)
+            ):
+                raise ValueError(f"legacy order violates legacy bounds: {r}")
             chain = r.hash_chain()
             if chain[-1][2] != r.order_id:
                 raise ValueError(f"order id does not match order fields: {r}")
@@ -225,27 +269,32 @@ class DexOrderLinkAir(Air):
             if d2 < 0:
                 raise ValueError(f"fee ratio violated: {r}")
             w4, w5 = r.packed_words()
+            h2 = chain[1][2] if not r.is_legacy else 0
+            h3 = chain[2][2] if not r.is_legacy else 0
             vals = [
                 r.order_id, AS, AB, AF, sold, bought, ftk, r.has_fee,
                 r.vault_sell, r.vault_buy, r.vault_fee, r.vault_dst,
                 r.dst_key, r.public_key, r.token_sell, r.token_buy,
                 r.token_fee, r.nonce, r.expiration_timestamp,
-                chain[0][2], chain[1][2], chain[2][2], w4 % p, w5 % p,
+                chain[0][2], h2, h3, w4 % p, w5 % p,
             ]
             lads = [AS, AB, AF, sold, bought, ftk, d1, d2,
                     r.vault_sell, r.vault_buy, r.vault_fee, r.vault_dst,
                     r.nonce, r.expiration_timestamp]
+            leg, wl = r.is_legacy, r.legacy_word()
             for i in range(BLOCK):
                 for c, v in enumerate(vals):
                     cols[c][base + i] = v
                 for j, lv in enumerate(lads):
                     cols[24 + j][base + i] = lv
+                cols[38][base + i] = leg
+                cols[39][base + i] = wl
                 lads = [lv >> 1 for lv in lads]
         return cols
 
     # --- interaction phase ----------------------------------------------------
 
-    def _row_tuples(self, al, be, v):
+    def _row_tuples(self, al, be, v, wl):
         p = FIELD_PRIME
         al2 = al * al % p
         al3 = al2 * al % p
@@ -261,6 +310,7 @@ class DexOrderLinkAir(Air):
             "h2": (h1 + al * tf + al2 * h2 + BETA_POOL * be) % p,
             "h3": (h2 + al * w4 + al2 * h3 + BETA_POOL * be) % p,
             "h4": (h3 + al * w5 + al2 * msg + BETA_POOL * be) % p,
+            "hl": (h1 + al * wl + al2 * msg + BETA_POOL * be) % p,
         }
         return out, hf
 
@@ -268,15 +318,20 @@ class DexOrderLinkAir(Air):
         p = FIELD_PRIME
         z, al, be, _S = challenges
         n = self.n
-        keys = ("oc", "d1", "d2", "d3", "d4", "h1", "h2", "h3", "h4")
+        keys = ("oc", "d1", "d2", "d3", "d4", "h1", "h2", "h3", "h4", "hl")
         invs = {k: [0] * n for k in keys}
         acc = [0] * n
         for k in range(self.n_execs):
             b = k * BLOCK
             v = [main_columns[i][b] for i in range(24)]
-            tups, hf = self._row_tuples(al, be, v)
+            leg = main_columns[38][b]
+            tups, hf = self._row_tuples(al, be, v, main_columns[39][b])
             for key, t in tups.items():
                 if key in ("d3", "d4") and not hf:
+                    continue
+                if key in ("h2", "h3", "h4") and leg:
+                    continue
+                if key == "hl" and not leg:
                     continue
                 invs[key][b] = _inv(z - t)
         total = 0
@@ -284,7 +339,7 @@ class DexOrderLinkAir(Air):
             total = (
                 total
                 + invs["oc"][r] + invs["h1"][r] + invs["h2"][r]
-                + invs["h3"][r] + invs["h4"][r]
+                + invs["h3"][r] + invs["h4"][r] + invs["hl"][r]
                 - invs["d1"][r] - invs["d2"][r] - invs["d3"][r] - invs["d4"][r]
             ) % p
             acc[r + 1] = total
@@ -311,8 +366,8 @@ class DexOrderLinkAir(Air):
 
     _PUB_ORDER = (
         "start", "breal", "hold", "lad63", "zero63", "lad64", "zero64",
-        "lad127", "bit127", "lad31", "zero31", "lad22", "zero22", "row0",
-        "lastrow",
+        "lad127", "bit127", "lad31", "zero31", "lad22", "zero22", "row31",
+        "row0", "lastrow",
     )
 
     def _selectors(self):
@@ -333,6 +388,7 @@ class DexOrderLinkAir(Air):
                 for i in range(lo, hi):
                     cols[name][base + i] = 1
             cols["bit127"][base + BLOCK - 1] = 1
+            cols["row31"][base + 31] = 1
         cols["row0"][0] = 1
         cols["lastrow"][n - 1] = 1
         return cols
@@ -354,8 +410,8 @@ class DexOrderLinkAir(Air):
         return out
 
     def transition_divisors(self):
-        # 19 row-0 + 24 hold + 28 ladder constraints, then the 11 buses.
-        return ["trans"] * 71 + ["all"] * 11
+        # 22 row-0 + 26 hold + 30 ladder constraints, then the 12 buses.
+        return ["trans"] * 78 + ["all"] * 12
 
     # --- constraints (host ints, verifier) -------------------------------------
 
@@ -364,17 +420,18 @@ class DexOrderLinkAir(Air):
         (msg, AS, AB, AF, sold, bought, ftk, hf, vs, vb, vf, vd, kdst, pk,
          ts, tb, tf, non, expv, h1, h2, h3, w4, w5,
          sAS, sAB, sAF, ssold, sbought, sftk, sD1, sD2, svs, svb, svf, svd,
-         snon, sexp,
+         snon, sexp, leg, wl,
          inv_oc, inv_d1, inv_d2, inv_d3, inv_d4, inv_h1, inv_h2, inv_h3,
-         inv_h4, acc) = cur_vals
+         inv_h4, inv_hl, acc) = cur_vals
         nxt = nxt_vals
         if pub_vals:
             (start, breal, hold, lad63, zero63, lad64, zero64, lad127,
-             bit127, lad31, zero31, lad22, zero22, row0, lastrow) = pub_vals
+             bit127, lad31, zero31, lad22, zero22, row31, row0,
+             lastrow) = pub_vals
         else:
             start = breal = hold = lad63 = zero63 = lad64 = zero64 = 0
             lad127 = bit127 = lad31 = zero31 = lad22 = zero22 = 0
-            row0 = lastrow = 0
+            row31 = row0 = lastrow = 0
         z, al, be, S = chal_vals
         al2 = al * al % p
         al3 = al2 * al % p
@@ -388,6 +445,7 @@ class DexOrderLinkAir(Air):
         t_h2 = (h1 + al * tf + al2 * h2 + BETA_POOL * be) % p
         t_h3 = (h2 + al * w4 + al2 * h3 + BETA_POOL * be) % p
         t_h4 = (h3 + al * w5 + al2 * msg + BETA_POOL * be) % p
+        t_hl = (h1 + al * wl + al2 * msg + BETA_POOL * be) % p
 
         def bit(i_cur, i_nxt):
             b = (cur_vals[i_cur] - 2 * nxt[i_nxt]) % p
@@ -397,6 +455,10 @@ class DexOrderLinkAir(Air):
             # --- row-0 semantics (trans) ------------------------------------
             breal * hf % p * (hf - 1) % p,                           # C1
             breal * (1 - hf) % p * ftk % p,                          # C2
+            breal * leg % p * (leg - 1) % p,                         # C1b
+            breal * leg % p * hf % p,                                # C1c
+            breal * (wl - (vs * WL_VS + vb * WL_VB + AS * WL_AS
+                           + AB * WL_AB + non * WL_NON + expv)) % p, # C20
             breal * (sAS - AS) % p,                                  # C3
             breal * (sAB - AB) % p,
             breal * (sAF - AF) % p,
@@ -417,8 +479,8 @@ class DexOrderLinkAir(Air):
             breal * (w5 - (W5_CONST + vf * W5_VF + vs * W5_VS
                            + vb * W5_VB + expv * W5_EXP)) % p,       # C19
         ]
-        # --- hold: 24 value columns constant inside a block -----------------
-        for i in range(24):
+        # --- hold: 24 value columns + leg/wl constant inside a block --------
+        for i in list(range(24)) + [38, 39]:
             out.append(hold * (nxt[i] - cur_vals[i]) % p)
         # --- ladders --------------------------------------------------------
         for i in range(24, 30):  # 63-bit amount ladders
@@ -435,6 +497,10 @@ class DexOrderLinkAir(Air):
         out.append(zero31 * snon % p)
         out.append(lad22 * bit(37, 37) % p)
         out.append(zero22 * sexp % p)
+        # Legacy 31-bit vault windows: at block row 31 the shifted vault
+        # ladders must have reached zero when the block is legacy.
+        out.append(row31 * leg % p * svs % p)
+        out.append(row31 * leg % p * svb % p)
         # --- buses (all) ----------------------------------------------------
         out.extend([
             (inv_oc * ((z - t_oc) % p) - breal) % p,                 # I1
@@ -443,11 +509,13 @@ class DexOrderLinkAir(Air):
             (inv_d3 * ((z - t_d3) % p) - breal * hf) % p,            # I4
             (inv_d4 * ((z - t_d4) % p) - breal * hf) % p,            # I5
             (inv_h1 * ((z - t_h1) % p) - breal) % p,                 # I6
-            (inv_h2 * ((z - t_h2) % p) - breal) % p,                 # I7
-            (inv_h3 * ((z - t_h3) % p) - breal) % p,                 # I8
-            (inv_h4 * ((z - t_h4) % p) - breal) % p,                 # I9
+            (inv_h2 * ((z - t_h2) % p) - breal * (1 - leg)) % p,     # I7
+            (inv_h3 * ((z - t_h3) % p) - breal * (1 - leg)) % p,     # I8
+            (inv_h4 * ((z - t_h4) % p) - breal * (1 - leg)) % p,     # I9
+            (inv_hl * ((z - t_hl) % p) - breal * leg) % p,           # I9b
             (nxt[-1] - acc - inv_oc - inv_h1 - inv_h2 - inv_h3 - inv_h4
-             + inv_d1 + inv_d2 + inv_d3 + inv_d4 + lastrow * S) % p, # I10
+             - inv_hl + inv_d1 + inv_d2 + inv_d3 + inv_d4
+             + lastrow * S) % p,                                     # I10
             row0 * acc % p,                                          # I11
         ])
         return out
@@ -461,11 +529,11 @@ class DexOrderLinkAir(Air):
         (msg, AS, AB, AF, sold, bought, ftk, hf, vs, vb, vf, vd, kdst, pk,
          ts, tb, tf, non, expv, h1, h2, h3, w4, w5,
          sAS, sAB, sAF, ssold, sbought, sftk, sD1, sD2, svs, svb, svf, svd,
-         snon, sexp,
+         snon, sexp, leg, wl,
          inv_oc, inv_d1, inv_d2, inv_d3, inv_d4, inv_h1, inv_h2, inv_h3,
-         inv_h4, acc) = cur
+         inv_h4, inv_hl, acc) = cur
         (start, breal, hold, lad63, zero63, lad64, zero64, lad127, bit127,
-         lad31, zero31, lad22, zero22, row0, lastrow) = pub
+         lad31, zero31, lad22, zero22, row31, row0, lastrow) = pub
         z_c, al_c, be_c, S_c = (jnp.broadcast_to(x, msg.shape) for x in chal)
 
         def bc(v):
@@ -494,6 +562,7 @@ class DexOrderLinkAir(Air):
         t_h2 = add(h1, add(mul(al_c, tf), add(mul(al2, h2), be_pool)))
         t_h3 = add(h2, add(mul(al_c, w4), add(mul(al2, h3), be_pool)))
         t_h4 = add(h3, add(mul(al_c, w5), add(mul(al2, msg), be_pool)))
+        t_hl = add(h1, add(mul(al_c, wl), add(mul(al2, msg), be_pool)))
 
         def bitc(s_cur, s_nxt):
             b = sub(s_cur, add(s_nxt, s_nxt))
@@ -502,6 +571,12 @@ class DexOrderLinkAir(Air):
         out = [
             mul(breal, mul(hf, sub(hf, one))),                        # C1
             mul(breal, mul(sub(one, hf), ftk)),                       # C2
+            mul(breal, mul(leg, sub(leg, one))),                      # C1b
+            mul(breal, mul(leg, hf)),                                 # C1c
+            mul(breal, sub(wl, add(mul(vs, bc(WL_VS)),
+                add(mul(vb, bc(WL_VB)), add(mul(AS, bc(WL_AS)),
+                add(mul(AB, bc(WL_AB)), add(mul(non, bc(WL_NON)),
+                                            expv))))))),              # C20
             mul(breal, sub(sAS, AS)),                                 # C3
             mul(breal, sub(sAB, AB)),
             mul(breal, sub(sAF, AF)),
@@ -524,7 +599,7 @@ class DexOrderLinkAir(Air):
                 add(mul(vs, bc(W5_VS)), add(mul(vb, bc(W5_VB)),
                                             mul(expv, bc(W5_EXP)))))))),  # C19
         ]
-        for i in range(24):
+        for i in list(range(24)) + [38, 39]:
             out.append(mul(hold, sub(nxt[i], cur[i])))
         for i in range(24, 30):
             out.append(mul(lad63, bitc(cur[i], nxt[i])))
@@ -540,6 +615,9 @@ class DexOrderLinkAir(Air):
         out.append(mul(zero31, snon))
         out.append(mul(lad22, bitc(sexp, nxt[37])))
         out.append(mul(zero22, sexp))
+        out.append(mul(row31, mul(leg, svs)))
+        out.append(mul(row31, mul(leg, svb)))
+        not_leg = mul(breal, sub(one, leg))
         out.extend([
             sub(mul(inv_oc, sub(z_c, t_oc)), breal),                  # I1
             sub(mul(inv_d1, sub(z_c, t_d1)), breal),                  # I2
@@ -547,13 +625,14 @@ class DexOrderLinkAir(Air):
             sub(mul(inv_d3, sub(z_c, t_d3)), mul(breal, hf)),         # I4
             sub(mul(inv_d4, sub(z_c, t_d4)), mul(breal, hf)),         # I5
             sub(mul(inv_h1, sub(z_c, t_h1)), breal),                  # I6
-            sub(mul(inv_h2, sub(z_c, t_h2)), breal),                  # I7
-            sub(mul(inv_h3, sub(z_c, t_h3)), breal),                  # I8
-            sub(mul(inv_h4, sub(z_c, t_h4)), breal),                  # I9
+            sub(mul(inv_h2, sub(z_c, t_h2)), not_leg),                # I7
+            sub(mul(inv_h3, sub(z_c, t_h3)), not_leg),                # I8
+            sub(mul(inv_h4, sub(z_c, t_h4)), not_leg),                # I9
+            sub(mul(inv_hl, sub(z_c, t_hl)), mul(breal, leg)),        # I9b
             add(
                 add(
                     sub(nxt[-1], add(acc, add(inv_oc, add(inv_h1,
-                        add(inv_h2, add(inv_h3, inv_h4)))))),
+                        add(inv_h2, add(inv_h3, add(inv_h4, inv_hl))))))),
                     add(inv_d1, add(inv_d2, add(inv_d3, inv_d4))),
                 ),
                 mul(lastrow, S_c),

@@ -54,12 +54,21 @@ def dex_batch():
     r, s = sign(D.transfer_message(transfer), T.KEYS["alice"])
     transfer = replace(transfer, base=replace(tbase, signature_r=r, signature_s=s))
 
+    # Legacy 31-bit-format leg: alice signs a legacy (pre-fee) order,
+    # settled against a with-fee bob order — exercises the link AIR's
+    # legacy path (2-hash chain, wl reconstruction, 31-bit vault gates).
+    la = T._signed_order(
+        "alice", 1, 2, 30, 12, T.TOKEN_A, T.TOKEN_B, nonce=6, with_fee=False
+    )
+    lb = T._signed_order("bob", 3, 4, 12, 30, T.TOKEN_B, T.TOKEN_A, nonce=7)
+
     txs = [
         D.Settlement(a, b, party_a_sold=100, party_b_sold=40, party_a_fee_info=a_fee),
         D.Settlement(a2, l1, party_a_sold=50, party_b_sold=20),
         transfer,
         D.Modification(T.PUB["alice"], T.TOKEN_A, 1, 838, 2000),
         D.Mint(T.PUB["bob"], D.MINTING_BIT + 77, 9),
+        D.Settlement(la, lb, party_a_sold=30, party_b_sold=12),
     ]
     return D.DexProgramInput(
         general_config=T.CONFIG,
@@ -83,9 +92,9 @@ def test_prove_and_verify_dex_execution(proven):
     proofs, result = proven
     assert proofs.order_proof is not None
     assert proofs.vault_proof is not None
-    # 4 order fills (a, b, a2, l1) + transfer + mint mark.
-    assert proofs.order_n_accesses == 6
-    assert len(proofs.order_journal) == 6  # every order distinct here
+    # 6 order fills (a, b, a2, l1, la, lb) + transfer + mint mark.
+    assert proofs.order_n_accesses == 8
+    assert len(proofs.order_journal) == 8  # every order distinct here
     # Unsigned claims (L1 order, mint) carry no linkage hash.
     unsigned = [c for c in proofs.order_claims if c[0] == 0]
     assert len(unsigned) == 2
@@ -94,23 +103,29 @@ def test_prove_and_verify_dex_execution(proven):
     assert kinds == {"diff", "set"}
     spaces = {a.cell[0] for a in proofs.vault_accesses}
     assert spaces == {"l1", "l2"}
-    # Settlement link: the three L2 with-fee executions (a, b, a2) carry
-    # real proofs; the L1 leg stays host-justified.
-    assert proofs.link_n_execs == 3
+    # Settlement link: all five L2 executions (a, b, a2 with-fee; la
+    # legacy; lb with-fee) carry real proofs; the L1 leg stays
+    # on-chain-justified.
+    assert proofs.link_n_execs == 5
     assert proofs.link_proof is not None
-    # Three 4-hash chains; orders a and a2 share the h(TOKEN_A, TOKEN_B)
-    # and fee-asset prefixes, so two rows carry multiplicity 2.
-    assert len(proofs.link_pool_claims) == 10
-    assert sum(mu for *_k, mu in proofs.link_pool_claims) == 12
-    # The taken fee shows up as produced diffs (-2 from vault 1, +2 to 4).
+    # Four 4-hash chains + one legacy 2-hash chain, with shared prefixes:
+    # a/a2/la share h(TOKEN_A, TOKEN_B), a/a2 share the fee link,
+    # b/lb share h(TOKEN_B, TOKEN_A) and its fee link.
+    assert len(proofs.link_pool_claims) == 13
+    assert sum(mu for *_k, mu in proofs.link_pool_claims) == 18
+    # The taken fee shows up as produced diffs (-2 from vault 1, +2 to 4);
+    # the legacy settlement's moves are produced diffs too.
     from stark_perpetual_tpu.params import FIELD_PRIME
 
     diffs = {(k, t, v, d) for k, t, v, d, _mu in proofs.link_diff_claims}
     assert (T.PUB["alice"], T.TOKEN_A, 1, (-2) % FIELD_PRIME) in diffs
     assert (T.PUB["bob"], T.TOKEN_A, 4, 2) in diffs
+    assert (T.PUB["alice"], T.TOKEN_A, 1, (-30) % FIELD_PRIME) in diffs
+    assert (T.PUB["bob"], T.TOKEN_B, 3, (-12) % FIELD_PRIME) in diffs
     assert verify_dex_execution(proofs)
-    # Final balances agree with the engine run.
-    assert result.final_vaults[1].balance == 2000
+    # Final balances agree with the engine run (modification set vault 1
+    # to 2000, then the legacy settlement sold 30).
+    assert result.final_vaults[1].balance == 1970
 
 
 def test_tampered_dex_schedules_fail(proven):
