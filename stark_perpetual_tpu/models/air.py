@@ -41,6 +41,7 @@ Soundness design (DEEP-ALI):
 """
 
 import functools
+import os
 from dataclasses import dataclass, field as dataclass_field
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -300,7 +301,330 @@ class StarkProver:
         self._programs[key] = run
         return run
 
+    def _use_fused(self) -> bool:
+        """Device-resident prover path selection.
+
+        The fused path (ops/fused_prover.py) collapses commitment + FRI
+        into a handful of device programs — the right shape through a
+        remote-TPU tunnel where every dispatch costs ~25 ms. On CPU the
+        host path wins (native-library hashing, no dispatch latency).
+        Proofs from both paths are bit-identical (tests/test_fused_prover).
+        """
+        mode = os.environ.get("STARK_PROVER_FUSED", "auto")
+        if mode in ("0", "1"):
+            return mode == "1"
+        if self.sharding is not None:
+            return False  # sharded composition stays on the host-driven path
+        import jax
+
+        return jax.default_backend() != "cpu"
+
     def prove(self, trace_columns: Sequence[Sequence[int]]) -> StarkProof:
+        if self._use_fused():
+            return self._prove_fused(trace_columns)
+        return self._prove_host(trace_columns)
+
+    def _prove_fused(self, trace_columns: Sequence[Sequence[int]]) -> StarkProof:
+        """Device-resident prove: identical proof bytes to _prove_host.
+
+        Every polynomial-sized intermediate (LDEs, tree levels, FRI
+        layers) stays on the device; the host sees only roots, OOD values
+        and the query-time openings (gathered in one dispatch per buffer).
+        """
+        import jax
+
+        from stark_perpetual_tpu.ops.fused_prover import (
+            commit_columns,
+            fri_fused,
+            gather_rows,
+        )
+        from stark_perpetual_tpu.ops.fri import _coset_interpolate
+
+        f = self.f
+        air = self.air
+        n = len(trace_columns[0])
+        assert n & (n - 1) == 0
+        big = n * self.blowup
+        ntt = ntt_ops()
+
+        # 1. Interpolate + LDE (device-resident).
+        cols = jnp.asarray(np.stack([f.pack(list(col)) for col in trace_columns]))
+        coeffs = ntt.ntt(cols, inverse=True)
+        ldes_all = ntt.lde(coeffs, self.blowup, shift=FIELD_GEN)
+
+        # 2. Commit the trace: row-leaf chain + all tree levels, one program.
+        trace_tree, bad_t = commit_columns(ldes_all)
+        trace_root = trace_tree.root
+
+        channel = Channel()
+        channel.absorb(
+            _public_input_hash(
+                air, n, self.blowup, self.n_queries, self.grinding_bits, air.boundary()
+            )
+        )
+        channel.absorb(trace_root)
+
+        # 2b. Interaction phase.
+        challenges = [channel.challenge() for _ in range(air.n_interaction_challenges)]
+        challenges = challenges + list(air.derived_challenges(challenges))
+        inter_tree = None
+        inter_root = 0
+        icoeffs = None
+        if air.n_interaction_columns:
+            inter_cols = air.build_interaction(trace_columns, challenges)
+            assert len(inter_cols) == air.n_interaction_columns
+            icols = jnp.asarray(np.stack([f.pack(list(col)) for col in inter_cols]))
+            icoeffs = ntt.ntt(icols, inverse=True)
+            inter_ldes_all = ntt.lde(icoeffs, self.blowup, shift=FIELD_GEN)
+            inter_tree, _bad_i = commit_columns(inter_ldes_all)
+            inter_root = inter_tree.root
+            channel.absorb(inter_root)
+            ldes_cat = jnp.concatenate([ldes_all, inter_ldes_all], axis=0)
+        else:
+            ldes_cat = ldes_all
+
+        # 3-5. Composition (same jitted program as the host path).
+        pub_cols = air.public_columns()
+        cur_m = f.to_mont(ldes_cat)
+        if pub_cols:
+            pcols = jnp.asarray(np.stack([f.pack(list(col)) for col in pub_cols]))
+            pub_ldes_all = ntt.lde(
+                ntt.ntt(pcols, inverse=True), self.blowup, shift=FIELD_GEN
+            )
+            pub_m = f.to_mont(pub_ldes_all)
+        else:
+            pub_m = jnp.zeros((0, big, N_LIMBS), dtype=jnp.int32)
+
+        n_total_cols = air.n_columns + air.n_interaction_columns
+        n_transitions = len(
+            air.transition_exprs_host_chal(
+                [0] * n_total_cols,
+                [0] * n_total_cols,
+                [0] * len(pub_cols),
+                [1] * len(challenges),
+            )
+        )
+        t_alphas = [channel.challenge() for _ in range(n_transitions)]
+        boundary = air.boundary()
+        b_alphas = [channel.challenge() for _ in boundary]
+
+        def mont_pack(vals):
+            return jnp.asarray(
+                np.stack([f.pack((v << 252) % FIELD_PRIME) for v in vals])
+            )
+
+        w_n = root_of_unity(n)
+        if boundary:
+            b_cols = jnp.asarray(np.array([c for c, _r, _v in boundary], dtype=np.int32))
+            b_xrow_m = mont_pack([pow(w_n, r, FIELD_PRIME) for _c, r, _v in boundary])
+            b_val_m = mont_pack([v for _c, _r, v in boundary])
+            b_alphas_m = mont_pack(b_alphas)
+        else:
+            b_cols = jnp.zeros((0,), dtype=jnp.int32)
+            b_xrow_m = b_val_m = b_alphas_m = jnp.zeros((0, N_LIMBS), dtype=jnp.int32)
+        t_alphas_m = (
+            mont_pack(t_alphas) if t_alphas else jnp.zeros((0, N_LIMBS), dtype=jnp.int32)
+        )
+        chal_m = (
+            mont_pack(challenges)
+            if challenges
+            else jnp.zeros((0, N_LIMBS), dtype=jnp.int32)
+        )
+
+        program = self._composition_program(
+            n, big, len(pub_cols), len(boundary), len(challenges)
+        )
+        comp_std = program(
+            cur_m, pub_m, chal_m, t_alphas_m, b_cols, b_xrow_m, b_val_m, b_alphas_m
+        )
+
+        # 6. Composition split + commit (device-resident).
+        from stark_perpetual_tpu.ops.fri import _geom_program
+
+        n_parts = max(1, air.transition_degree - 1)
+        one_m = jnp.asarray(f.pack((1 << 252) % FIELD_PRIME))
+        inv_off = pow(FIELD_GEN, FIELD_PRIME - 2, FIELD_PRIME)
+        invoff_tab = _geom_program(big)(
+            jnp.asarray(f.pack((inv_off << 252) % FIELD_PRIME)), one_m
+        )
+        comp_coeffs = _apply_powers_program(big)(
+            ntt.ntt(comp_std, inverse=True), invoff_tab
+        )
+        parts_std = comp_coeffs[: n_parts * n].reshape(n_parts, n, N_LIMBS)
+        h_ldes = ntt.lde(parts_std, self.blowup, shift=FIELD_GEN)
+        comp_tree, _bad_c = commit_columns(h_ldes)
+        comp_root = comp_tree.root
+        channel.absorb(comp_root)
+
+        # 7. Out-of-domain openings.
+        z = channel.challenge()
+        gz = z * w_n % FIELD_PRIME
+        coeffs_all = (
+            jnp.concatenate([coeffs, icoeffs], axis=0)
+            if air.n_interaction_columns
+            else coeffs
+        )
+        n_total = air.n_columns + air.n_interaction_columns
+        zpow = _geom_program(n)(jnp.asarray(f.pack((z << 252) % FIELD_PRIME)), one_m)
+        gzpow = _geom_program(n)(jnp.asarray(f.pack((gz << 252) % FIELD_PRIME)), one_m)
+        eval_t = _eval_at_point_program(n_total, n)
+        ood_trace = [int(v) for v in unpack_ints(np.asarray(eval_t(coeffs_all, zpow)))]
+        ood_trace_next = [
+            int(v) for v in unpack_ints(np.asarray(eval_t(coeffs_all, gzpow)))
+        ]
+        eval_h = _eval_at_point_program(n_parts, n)
+        ood_comp = [int(v) for v in unpack_ints(np.asarray(eval_h(parts_std, zpow)))]
+        for v in ood_trace + ood_trace_next + ood_comp:
+            channel.absorb(v)
+
+        # 8. DEEP quotient (device) + fused FRI (device).
+        g1 = [channel.challenge() for _ in range(n_total)]
+        g2 = [channel.challenge() for _ in range(n_total)]
+        g3 = [channel.challenge() for _ in range(n_parts)]
+        deep_std = _deep_program(n_total, n_parts, big)(
+            ldes_cat,
+            h_ldes,
+            jnp.asarray(f.pack((z << 252) % FIELD_PRIME)),
+            jnp.asarray(f.pack((gz << 252) % FIELD_PRIME)),
+            mont_pack(ood_trace),
+            mont_pack(ood_trace_next),
+            mont_pack(ood_comp),
+            mont_pack(g1),
+            mont_pack(g2),
+            mont_pack(g3),
+        )
+        final_size = 4
+        layers, layer_roots, final_evals, fri_state, bad_f = fri_fused(
+            deep_std, channel.state, FIELD_GEN, final_size
+        )
+        n_layers = len(layers.trees)
+        final_offset = FIELD_GEN
+        for _ in range(n_layers):
+            final_offset = final_offset * final_offset % FIELD_PRIME
+        final_coeffs = _coset_interpolate(final_evals, final_offset)
+        fri_channel = Channel(fri_state)
+        for c in final_coeffs:
+            fri_channel.absorb(c)
+        pow_nonce = fri_channel.grind(self.grinding_bits)
+        indices = fri_channel.query_indices(self.n_queries, big)
+
+        # Poison check: exceptional EC additions are ~2^-250 per hash; a
+        # single fetched flag guards the whole device hashing pipeline.
+        assert not bool(np.asarray(bad_t)) and not bool(np.asarray(bad_f)), (
+            "Unhashable input."
+        )
+
+        # 9. Query openings: one gather dispatch per device buffer.
+        lde_flat = ldes_cat.reshape(-1, N_LIMBS)
+        h_flat = h_ldes.reshape(-1, N_LIMBS)
+
+        tval_idx = [c * big + q for q in indices for c in range(air.n_columns)]
+        tpath_idx = [i for q in indices for i in trace_tree.path_indices(q)]
+        hval_idx = [c * big + q for q in indices for c in range(n_parts)]
+        hpath_idx = [i for q in indices for i in comp_tree.path_indices(q)]
+        tvals = gather_rows(lde_flat, tval_idx)
+        tpaths = gather_rows(trace_tree.buf, tpath_idx)
+        hvals = gather_rows(h_flat, hval_idx)
+        hpaths = gather_rows(comp_tree.buf, hpath_idx)
+
+        n_q = len(indices)
+        depth_t = trace_tree.n_levels - 1
+        openings = []
+        comp_openings = []
+        for k, q in enumerate(indices):
+            openings.append(
+                (
+                    tvals[k * air.n_columns : (k + 1) * air.n_columns],
+                    tpaths[k * depth_t : (k + 1) * depth_t],
+                )
+            )
+            comp_openings.append(
+                (
+                    hvals[k * n_parts : (k + 1) * n_parts],
+                    hpaths[k * depth_t : (k + 1) * depth_t],
+                )
+            )
+
+        inter_openings = None
+        if air.n_interaction_columns:
+            inter_flat = inter_ldes_all.reshape(-1, N_LIMBS)
+            ival_idx = [
+                c * big + q for q in indices for c in range(air.n_interaction_columns)
+            ]
+            ipath_idx = [i for q in indices for i in inter_tree.path_indices(q)]
+            ivals = gather_rows(inter_flat, ival_idx)
+            ipaths = gather_rows(inter_tree.buf, ipath_idx)
+            inter_openings = [
+                (
+                    ivals[
+                        k * air.n_interaction_columns : (k + 1)
+                        * air.n_interaction_columns
+                    ],
+                    ipaths[k * depth_t : (k + 1) * depth_t],
+                )
+                for k in range(n_q)
+            ]
+
+        # FRI query openings: leaf values + both paths per layer, all from
+        # the single fused layer buffer.
+        fri_idx: List[int] = []
+        spans = []  # (per query, per layer) slices into fri_idx
+        for q in indices:
+            idx = q
+            for tree in layers.trees:
+                half = tree.n_leaves // 2
+                i = idx % half
+                j = i + half
+                start = len(fri_idx)
+                fri_idx.append(tree.leaf_index(i))
+                fri_idx.append(tree.leaf_index(j))
+                fri_idx.extend(tree.path_indices(i))
+                fri_idx.extend(tree.path_indices(j))
+                spans.append((start, tree.n_levels - 1))
+                idx = i
+        fri_vals = gather_rows(layers.buf, fri_idx)
+        queries = []
+        si = 0
+        for q in indices:
+            per_layer = []
+            for tree in layers.trees:
+                start, depth = spans[si]
+                si += 1
+                fx = fri_vals[start]
+                fmx = fri_vals[start + 1]
+                path_x = fri_vals[start + 2 : start + 2 + depth]
+                path_mx = fri_vals[start + 2 + depth : start + 2 + 2 * depth]
+                per_layer.append((fx, fmx, path_x, path_mx))
+            queries.append(per_layer)
+
+        fri_proof = FriProof(
+            layer_roots=layer_roots,
+            final_coeffs=final_coeffs,
+            queries=queries,
+            domain_size=big,
+            offset=FIELD_GEN,
+            indices=indices,
+            pow_nonce=pow_nonce,
+        )
+
+        return StarkProof(
+            trace_root=trace_root,
+            trace_length=n,
+            blowup=self.blowup,
+            n_queries=self.n_queries,
+            grinding_bits=self.grinding_bits,
+            comp_root=comp_root,
+            ood_trace=ood_trace,
+            ood_trace_next=ood_trace_next,
+            ood_comp=ood_comp,
+            fri=fri_proof,
+            trace_openings=openings,
+            comp_openings=comp_openings,
+            inter_root=inter_root,
+            inter_openings=inter_openings,
+        )
+
+    def _prove_host(self, trace_columns: Sequence[Sequence[int]]) -> StarkProof:
         f = self.f
         air = self.air
         n = len(trace_columns[0])
@@ -633,9 +957,15 @@ def _public_input_hash(
     items.append(len(items))
     size = 1 << max(3, (len(items) - 1).bit_length())
     items += [0] * (size - len(items))
-    f = stark_prime_field()
-    root, _levels = dense_commit_device(f.pack(items))
-    return root
+    # Host-int tree (native-library hashing): the list is small, and keeping
+    # it off the device avoids instantiating the standalone chunked-hash
+    # program in processes that otherwise only run fused prover programs.
+    vals = list(items)
+    while len(vals) > 1:
+        vals = pedersen_hash_ints(
+            [(vals[i], vals[i + 1]) for i in range(0, len(vals), 2)]
+        )
+    return vals[0]
 
 
 def _coset_power_table(f, size: int, offset: int, power: int) -> jnp.ndarray:
