@@ -109,3 +109,17 @@ def verify_batch_builtins(proofs: BatchBuiltinProofs) -> bool:
         if not EcdsaVerifyStark().verify(proofs.ecdsa_items, proofs.ecdsa_proof):
             return False
     return True
+
+
+def drop_cpu_executables():
+    """Between heavyweight proves on the CPU backend, drop live executables.
+
+    XLA:CPU can abort compiles in long sessions when too many large
+    programs stay resident (see tests/conftest.py). On an accelerator
+    backend this would throw away remotely compiled programs — the most
+    expensive asset a proving process owns — so it is a no-op there.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        jax.clear_caches()

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 from stark_perpetual_tpu.models.builtin_prover import (
+    drop_cpu_executables,
     BatchBuiltinProofs,
     RecordingHash,
     prove_builtin_obligations,
@@ -262,17 +263,17 @@ def prove_dex_execution(
         import jax
 
         if ord_air is not None:
-            jax.clear_caches()
+            drop_cpu_executables()
             ord_proof = StarkProver(ord_air, blowup=blowup, n_queries=n_queries).prove(
                 ord_air.trace(ord_accesses)
             )
         if vlt_air is not None:
-            jax.clear_caches()
+            drop_cpu_executables()
             vlt_proof = StarkProver(vlt_air, blowup=blowup, n_queries=n_queries).prove(
                 vlt_air.trace()
             )
         if link_air is not None:
-            jax.clear_caches()
+            drop_cpu_executables()
             link_proof = StarkProver(
                 link_air, blowup=max(blowup, 4), n_queries=n_queries
             ).prove(link_air.trace(result.order_exec_log))

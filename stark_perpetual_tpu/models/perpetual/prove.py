@@ -41,6 +41,7 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 from stark_perpetual_tpu.models.builtin_prover import (
+    drop_cpu_executables,
     BatchBuiltinProofs,
     RecordingHash,
     prove_builtin_obligations,
@@ -323,19 +324,19 @@ def prove_batch_execution(
         import jax
 
         if ful_air is not None:
-            jax.clear_caches()
+            drop_cpu_executables()
             ful_proof = StarkProver(ful_air, blowup=blowup, n_queries=n_queries).prove(
                 ful_air.trace(result.order_access_log)
             )
         if pos_air is not None:
-            jax.clear_caches()
+            drop_cpu_executables()
             pos_proof = StarkProver(pos_air, blowup=blowup, n_queries=n_queries).prove(
                 pos_air.trace(pos_accesses)
             )
         else:
             pos_proof = None
         if link_air is not None:
-            jax.clear_caches()
+            drop_cpu_executables()
             link_proof = StarkProver(
                 link_air, blowup=max(blowup, 4), n_queries=n_queries
             ).prove(link_air.trace(result.order_exec_log))
