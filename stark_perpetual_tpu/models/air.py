@@ -153,6 +153,33 @@ class Air:
         return []
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _fused_mont_mode():
+    """Trace fused-prover programs under the 'columns' mont-mul lowering.
+
+    Through a remote-TPU tunnel the prover's wall time is dominated by
+    compiling (first ever run) and then LOADING cached executables, both
+    of which scale with code size: the unrolled CIOS lowering produced a
+    ~50 MB commit executable. The columns lowering emits ~5x less HLO for
+    the same arithmetic at a modest runtime cost — the right trade for
+    every program the fused prover traces. An explicit STARK_TPU_MONT_MUL
+    (or a CPU backend, where tests pick their own mode) is respected.
+    """
+    import jax
+
+    if os.environ.get("STARK_TPU_MONT_MUL") or jax.default_backend() == "cpu":
+        yield
+        return
+    os.environ["STARK_TPU_MONT_MUL"] = "columns"
+    try:
+        yield
+    finally:
+        os.environ.pop("STARK_TPU_MONT_MUL", None)
+
+
 def stark_security_bits(blowup: int, n_queries: int, grinding_bits: int = 0) -> int:
     """Conjectured soundness level of a proof configuration, in bits.
 
@@ -321,7 +348,8 @@ class StarkProver:
 
     def prove(self, trace_columns: Sequence[Sequence[int]]) -> StarkProof:
         if self._use_fused():
-            return self._prove_fused(trace_columns)
+            with _fused_mont_mode():
+                return self._prove_fused(trace_columns)
         return self._prove_host(trace_columns)
 
     def _prove_fused(self, trace_columns: Sequence[Sequence[int]]) -> StarkProof:
@@ -1044,10 +1072,16 @@ def verify_stark(
     if pub_cols:
         f = stark_prime_field()
         ntt = ntt_ops()
-        pub_coeffs = [
-            [int(v) for v in unpack_ints(np.asarray(ntt.ntt(f.pack(list(col)), inverse=True)))]
-            for col in pub_cols
-        ]
+        with _fused_mont_mode():  # share the prover's cached INTT programs
+            pub_coeffs = [
+                [
+                    int(v)
+                    for v in unpack_ints(
+                        np.asarray(ntt.ntt(f.pack(list(col)), inverse=True))
+                    )
+                ]
+                for col in pub_cols
+            ]
     else:
         pub_coeffs = []
 

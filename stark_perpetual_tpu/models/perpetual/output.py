@@ -262,6 +262,12 @@ class ProgramRunResult:
     order_journal: Dict[int, Tuple[int, int]] = None
     position_access_log: list = None
     order_exec_log: list = None
+    # Successful TV/TR status evaluations (status_air.StatusRecord), the
+    # PositionStatusAir witness.
+    status_log: list = None
+    # Successful transition checks (transition_rule_air.TransitionCheck),
+    # the TransitionRuleAir witness + public checks table source.
+    transition_check_log: list = None
 
 
 def run_program(
@@ -275,8 +281,11 @@ def run_program(
     batch-verified the signatures (e.g. the staged arithmetization in
     prove.py) don't pay for a second device pass.
     """
+    from stark_perpetual_tpu.models.perpetual.position import record_status_checks
+
     config = program_input.general_config
-    state, outputs, _batch_config = execute_batch(program_input, crypto)
+    with record_status_checks() as status_rec:
+        state, outputs, _batch_config = execute_batch(program_input, crypto)
 
     trees = PerpetualStateTrees(config.positions_tree_height, config.orders_tree_height)
     prev_positions_root = trees.load_positions(program_input.positions or {})
@@ -330,4 +339,6 @@ def run_program(
         order_journal=dict(state.order_journal),
         position_access_log=list(state.position_access_log),
         order_exec_log=list(state.order_exec_log),
+        status_log=list(status_rec.records),
+        transition_check_log=list(status_rec.checks),
     )

@@ -68,6 +68,100 @@ def _record(phase: str, kind: str, asset_id: int, prev: int, new: int, operand: 
         _RECORDER.append((phase, kind, asset_id, prev, new, operand))
 
 
+# --- status-check recording (solvency arithmetization witness) -------------
+#
+# check_valid_transition's successful TV/TR evaluations are the witness of
+# PositionStatusAir (status_air.py). Price regimes are keyed to epochs by
+# first appearance of each oracle-price tuple, so the recorder needs no
+# engine plumbing: the prices passed into the check identify the epoch.
+
+_STATUS_RECORDER = None
+
+
+class StatusCheckRecorder:
+    def __init__(self):
+        self.records = []  # StatusRecord per successful TV/TR evaluation
+        self.checks = []  # TransitionCheck per successful transition check
+        self._epochs: dict = {}
+
+    def epoch_of(self, oracle_prices) -> int:
+        key = tuple((p.asset_id, p.price) for p in oracle_prices)
+        if key not in self._epochs:
+            self._epochs[key] = len(self._epochs)
+        return self._epochs[key]
+
+    def _status(self, position: "Position", oracle_prices):
+        from stark_perpetual_tpu.models.perpetual.status_air import StatusRecord
+
+        key = tuple((p.asset_id, p.price) for p in oracle_prices)
+        rec = StatusRecord(
+            public_key=position.public_key,
+            collateral_balance=position.collateral_balance,
+            assets=tuple(
+                (a.asset_id, a.balance, a.cached_funding_index)
+                for a in position.assets
+            ),
+            epoch=self.epoch_of(oracle_prices),
+            prices=key,
+        )
+        self.records.append(rec)
+        return rec
+
+    def add_transition(
+        self, initial, updated, oracle_prices, initial_status, updated_status, well
+    ) -> None:
+        from stark_perpetual_tpu.models.perpetual.status_air import (
+            B95,
+            snapshot_chain,
+        )
+        from stark_perpetual_tpu.models.perpetual.transition_rule_air import (
+            TransitionCheck,
+        )
+
+        rec1 = self._status(updated, oracle_prices)
+        _rows, leaf1 = snapshot_chain(rec1)
+        if well:
+            leaf0, tvb0, tr0 = 0, 0, 0
+        else:
+            rec0 = self._status(initial, oracle_prices)
+            _rows, leaf0 = snapshot_chain(rec0)
+            tvb0, tr0 = initial_status[0] + B95, initial_status[1]
+        self.checks.append(
+            TransitionCheck(
+                leaf0=leaf0,
+                leaf1=leaf1,
+                epoch=rec1.epoch,
+                tvb0=tvb0,
+                tr0=tr0,
+                tvb1=updated_status[0] + B95,
+                tr1=updated_status[1],
+                well=well,
+            )
+        )
+
+
+@contextlib.contextmanager
+def record_status_checks():
+    """Collect StatusRecords for every successful TV/TR evaluation made by
+    check_valid_transition in this context."""
+    global _STATUS_RECORDER
+    saved = _STATUS_RECORDER
+    _STATUS_RECORDER = rec = StatusCheckRecorder()
+    try:
+        yield rec
+    finally:
+        _STATUS_RECORDER = saved
+
+
+def _record_transition(
+    initial, updated, oracle_prices, initial_status, updated_status, well: int
+) -> None:
+    if _STATUS_RECORDER is not None:
+        _STATUS_RECORDER.add_transition(
+            initial, updated, oracle_prices, initial_status, updated_status, well
+        )
+
+
 def check_request_public_key(position_public_key: int, request_public_key: int) -> ErrorCode:
     """position.cairo:60-77."""
     if request_public_key == 0:
@@ -262,6 +356,10 @@ def check_valid_transition(
         return code
 
     if updated_tr <= updated_tv * FXP_32_ONE:  # well leveraged
+        _record_transition(
+            None, updated_position, oracle_prices,
+            (0, 0), (updated_tv, updated_tr), well=1,
+        )
         return ErrorCode.SUCCESS
 
     initial_tv, initial_tr, code = position_get_status(initial_position, oracle_prices, config)
@@ -278,6 +376,12 @@ def check_valid_transition(
     if initial_tr == 0:
         if not initial_tv <= updated_tv:
             return ErrorCode.ILLEGAL_POSITION_TRANSITION_NO_RISK_REDUCED_VALUE
+    # Record only on overall success: deliberate-failure paths (forced
+    # actions) must not leave orphan status records.
+    _record_transition(
+        initial_position, updated_position, oracle_prices,
+        (initial_tv, initial_tr), (updated_tv, updated_tr), well=0,
+    )
     return ErrorCode.SUCCESS
 
 

@@ -121,6 +121,7 @@ def prove_batch_commitments(
     prepass.prepare(program_input)
     with pedersen_call_log() as tree_calls:
         result = output_mod.run_program(program_input, crypto=prepass)
+        _record_status_chains(result.status_log)
     items = _resolve_sig_items(prepass)
 
     calls = rec.calls + tree_calls
@@ -142,6 +143,23 @@ def prove_batch_commitments(
 
 
 # --- full batch execution proof ---------------------------------------------
+
+
+def _record_status_chains(status_log) -> None:
+    """Hash every recorded snapshot's leaf chain through the pedersen
+    funnel, so the chain rows PositionStatusAir looks up land in the
+    batch's pooled builtin obligations (status_air.py snapshot binding).
+    One batched call covers all records."""
+    if not status_log:
+        return
+    from stark_perpetual_tpu.models.perpetual.status_air import snapshot_chain
+    from stark_perpetual_tpu.ops.pedersen import pedersen_hash_ints
+
+    pairs = []
+    for rec in status_log:
+        rows, _leaf = snapshot_chain(rec)
+        pairs.extend((a, b) for a, b, _h in rows)
+    pedersen_hash_ints(pairs)
 
 
 def fulfillment_public_surface(result):
@@ -198,6 +216,22 @@ class BatchExecutionProofs:
     order_link_fee_position_id: int = 0
     order_link_collateral_asset_id: int = 0
     order_link_proof: Optional[object] = None
+    # Position-status AIR (status_air.py): TV/TR solvency totals of every
+    # transition check, with snapshots bound to the pedersen pool via
+    # their leaf hash chains and prices/risks bound to public tables.
+    status_pool_claims: list = None  # [(a, b, h, mult)]
+    status_price_claims: list = None  # [(epoch, aid, price, mult)]
+    status_risk_claims: list = None  # [(aid, lower, upper, risk, mult)]
+    status_claims: list = None  # [(leaf, epoch, tv+2^95, tr, mult)]
+    status_n_blocks: int = 0
+    status_rb_only: int = 0
+    status_proof: Optional[object] = None
+    # Transition-rule AIR (transition_rule_air.py): the solvency
+    # comparisons of validate_state_transition.cairo over the proven
+    # status claims. Smaller-in-synthetic-holdings stays an engine check.
+    transition_checks_table: list = None  # [(leaf0, leaf1, epoch, w, mult)]
+    transition_n_checks: int = 0
+    transition_proof: Optional[object] = None
 
 
 def prove_batch_execution(
@@ -319,7 +353,62 @@ def prove_batch_execution(
                 "order-link hash-chain row not in the pedersen pool"
             )
 
+    # Position-status AIR: TV/TR totals of every transition check, with
+    # snapshot binding via pedersen-pool chain lookups.
+    from stark_perpetual_tpu.models.perpetual.status_air import (
+        PositionStatusAir,
+        status_public_surface,
+    )
+
+    config = program_input.general_config
+    status_air = None
+    st_pool, st_price, st_risk, st_claims = [], [], [], []
+    st_blocks = 0
+    if result.status_log:
+        st_pool, st_price, st_risk, st_claims = status_public_surface(
+            result.status_log, config
+        )
+        st_blocks = sum(len(r.assets) for r in result.status_log) + len(
+            result.status_log
+        )
+        status_air = PositionStatusAir(
+            st_pool, st_price, st_risk, st_claims, st_blocks,
+            config.is_risk_by_balance_only,
+        )
+        pool_set = set(
+            zip(builtin_proofs.pedersen_pairs, builtin_proofs.pedersen_outputs)
+        )
+        for a, b, h, _mu in st_pool:
+            assert ((a, b), h) in pool_set, (
+                "status snapshot chain row not in the pedersen pool"
+            )
+        # Price table rows must match the engine's oracle-price regimes.
+        epoch_prices = {}
+        for rec in result.status_log:
+            epoch_prices.setdefault(rec.epoch, dict(rec.prices))
+        for ep, aid, pr, _mu in st_price:
+            assert epoch_prices[ep][aid] == pr, (ep, aid)
+
+    from stark_perpetual_tpu.models.perpetual.transition_rule_air import (
+        TransitionRuleAir,
+        checks_public_surface,
+    )
+
+    rule_air = None
+    checks_tab = []
+    if result.transition_check_log:
+        checks_tab, consumed = checks_public_surface(result.transition_check_log)
+        assert sorted(consumed) == sorted(st_claims), (
+            "transition checks consume a different status multiset than "
+            "the status AIR produces"
+        )
+        rule_air = TransitionRuleAir(
+            checks_tab, st_claims, len(result.transition_check_log)
+        )
+
     link_proof = None
+    status_proof = None
+    rule_proof = None
     if prove:
         import jax
 
@@ -340,6 +429,16 @@ def prove_batch_execution(
             link_proof = StarkProver(
                 link_air, blowup=max(blowup, 4), n_queries=n_queries
             ).prove(link_air.trace(result.order_exec_log))
+        if status_air is not None:
+            drop_cpu_executables()
+            status_proof = StarkProver(
+                status_air, blowup=max(blowup, 4), n_queries=n_queries
+            ).prove(status_air.trace(result.status_log, config))
+        if rule_air is not None:
+            drop_cpu_executables()
+            rule_proof = StarkProver(
+                rule_air, blowup=max(blowup, 4), n_queries=n_queries
+            ).prove(rule_air.trace(result.transition_check_log))
     else:
         pos_proof = None
 
@@ -363,6 +462,16 @@ def prove_batch_execution(
             order_link_fee_position_id=fee_pid,
             order_link_collateral_asset_id=acoll_id,
             order_link_proof=link_proof,
+            status_pool_claims=st_pool,
+            status_price_claims=st_price,
+            status_risk_claims=st_risk,
+            status_claims=st_claims,
+            status_n_blocks=st_blocks,
+            status_rb_only=1 if config.is_risk_by_balance_only else 0,
+            status_proof=status_proof,
+            transition_checks_table=checks_tab,
+            transition_n_checks=len(result.transition_check_log),
+            transition_proof=rule_proof,
         ),
         result,
     )
@@ -470,4 +579,49 @@ def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
                 return False
     elif proofs.fulfillment_claims:
         return False  # fills without any proven limit-order execution
+    # Position-status: every snapshot chain row the AIR walked must be a
+    # proven pedersen obligation of THIS batch; the claims then carry
+    # proven TV/TR totals keyed by leaf hash for the rule consumers.
+    if proofs.status_proof is not None:
+        from stark_perpetual_tpu.models.perpetual.status_air import (
+            PositionStatusAir,
+        )
+
+        pool_set = set(
+            zip(proofs.builtins.pedersen_pairs, proofs.builtins.pedersen_outputs)
+        )
+        for a, b, h, _mu in proofs.status_pool_claims:
+            if ((a, b), h) not in pool_set:
+                return False
+        try:
+            air = PositionStatusAir(
+                proofs.status_pool_claims,
+                proofs.status_price_claims,
+                proofs.status_risk_claims,
+                proofs.status_claims,
+                proofs.status_n_blocks,
+                proofs.status_rb_only,
+            )
+        except AssertionError:
+            return False
+        if not verify_stark(air, proofs.status_proof):
+            return False
+    # Transition rules over the proven status claims: the rule AIR's
+    # consumed table IS proofs.status_claims, so its totals are exactly
+    # the ones the status AIR proved.
+    if proofs.transition_proof is not None:
+        from stark_perpetual_tpu.models.perpetual.transition_rule_air import (
+            TransitionRuleAir,
+        )
+
+        try:
+            air = TransitionRuleAir(
+                proofs.transition_checks_table,
+                proofs.status_claims,
+                proofs.transition_n_checks,
+            )
+        except AssertionError:
+            return False
+        if not verify_stark(air, proofs.transition_proof):
+            return False
     return True
