@@ -86,11 +86,11 @@ def test_rule_violations_unbuildable():
     air = TransitionRuleAir(tab, consumed, 1)
     with pytest.raises(ValueError, match="not well-leveraged"):
         air.trace([bad])
-    # Ratio decrease must be unbuildable.
+    # Ratio decrease must be unbuildable (-0.5 -> -0.6 per unit risk).
     bad = TransitionCheck(
         leaf0=0xE0, leaf1=0xE1, epoch=0,
         tvb0=(-40 * B32) + B95, tr0=80 * B32,
-        tvb1=(-50 * B32) + B95, tr1=100 * B32,
+        tvb1=(-60 * B32) + B95, tr1=100 * B32,
         well=0,
     )
     tab, consumed = checks_public_surface([bad])
