@@ -268,6 +268,9 @@ class ProgramRunResult:
     # Successful transition checks (transition_rule_air.TransitionCheck),
     # the TransitionRuleAir witness + public checks table source.
     transition_check_log: list = None
+    # (initial, updated) StatusRecord pairs of the ratio-path checks,
+    # the HoldingsMergeAir witness.
+    merge_pair_log: list = None
 
 
 def run_program(
@@ -341,4 +344,5 @@ def run_program(
         order_exec_log=list(state.order_exec_log),
         status_log=list(status_rec.records),
         transition_check_log=list(status_rec.checks),
+        merge_pair_log=list(status_rec.merge_pairs),
     )

@@ -82,6 +82,7 @@ class StatusCheckRecorder:
     def __init__(self):
         self.records = []  # StatusRecord per successful TV/TR evaluation
         self.checks = []  # TransitionCheck per successful transition check
+        self.merge_pairs = []  # (initial_rec, updated_rec) per ratio-path check
         self._epochs: dict = {}
 
     def epoch_of(self, oracle_prices) -> int:
@@ -126,6 +127,7 @@ class StatusCheckRecorder:
             rec0 = self._status(initial, oracle_prices)
             _rows, leaf0 = snapshot_chain(rec0)
             tvb0, tr0 = initial_status[0] + B95, initial_status[1]
+            self.merge_pairs.append((rec0, rec1))
         self.checks.append(
             TransitionCheck(
                 leaf0=leaf0,

@@ -232,6 +232,12 @@ class BatchExecutionProofs:
     transition_checks_table: list = None  # [(leaf0, leaf1, epoch, w, mult)]
     transition_n_checks: int = 0
     transition_proof: Optional[object] = None
+    # Holdings-merge AIR (holdings_merge_air.py): the smaller-in-synthetic-
+    # holdings subset rule of the ratio-path checks, in-proof.
+    holdings_pool_claims: list = None  # [(a, b, h, mult)]
+    holdings_checks_table: list = None  # [(leaf0, leaf1, epoch, 0, mult)]
+    holdings_n_blocks: int = 0
+    holdings_proof: Optional[object] = None
 
 
 def prove_batch_execution(
@@ -406,9 +412,40 @@ def prove_batch_execution(
             checks_tab, st_claims, len(result.transition_check_log)
         )
 
+    # Holdings-merge AIR: the subset rule of the ratio-path checks.
+    from stark_perpetual_tpu.models.perpetual.holdings_merge_air import (
+        HoldingsMergeAir,
+        merge_public_surface,
+    )
+
+    merge_air = None
+    mg_pool, mg_checks = [], []
+    mg_blocks = 0
+    if result.merge_pair_log:
+        mg_pool, mg_checks = merge_public_surface(result.merge_pair_log)
+        mg_blocks = sum(
+            len(r0.assets) + 1 for r0, _r1 in result.merge_pair_log
+        )
+        merge_air = HoldingsMergeAir(mg_pool, mg_checks, mg_blocks)
+        w0_subset = {}
+        for l0, l1, ep, w, mu in checks_tab:
+            if w == 0:
+                w0_subset[(l0, l1, ep, 0)] = w0_subset.get((l0, l1, ep, 0), 0) + mu
+        assert sorted(k + (mu,) for k, mu in w0_subset.items()) == sorted(
+            mg_checks
+        ), "holdings merge covers a different ratio-check multiset"
+        pool_set = set(
+            zip(builtin_proofs.pedersen_pairs, builtin_proofs.pedersen_outputs)
+        )
+        for a, b, h, _mu in mg_pool:
+            assert ((a, b), h) in pool_set, (
+                "holdings chain row not in the pedersen pool"
+            )
+
     link_proof = None
     status_proof = None
     rule_proof = None
+    merge_proof = None
     if prove:
         import jax
 
@@ -439,6 +476,11 @@ def prove_batch_execution(
             rule_proof = StarkProver(
                 rule_air, blowup=max(blowup, 4), n_queries=n_queries
             ).prove(rule_air.trace(result.transition_check_log))
+        if merge_air is not None:
+            drop_cpu_executables()
+            merge_proof = StarkProver(
+                merge_air, blowup=max(blowup, 4), n_queries=n_queries
+            ).prove(merge_air.trace(result.merge_pair_log))
     else:
         pos_proof = None
 
@@ -472,6 +514,10 @@ def prove_batch_execution(
             transition_checks_table=checks_tab,
             transition_n_checks=len(result.transition_check_log),
             transition_proof=rule_proof,
+            holdings_pool_claims=mg_pool,
+            holdings_checks_table=mg_checks,
+            holdings_n_blocks=mg_blocks,
+            holdings_proof=merge_proof,
         ),
         result,
     )
@@ -624,4 +670,39 @@ def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
             return False
         if not verify_stark(air, proofs.transition_proof):
             return False
+    # Holdings merge: the ratio-path checks' subset rule. The merge AIR's
+    # checks table must be exactly the w=0 subset of the transition checks
+    # table, and every chain row must be a proven pedersen obligation.
+    if proofs.holdings_proof is not None:
+        from stark_perpetual_tpu.models.perpetual.holdings_merge_air import (
+            HoldingsMergeAir,
+        )
+
+        w0 = {}
+        for l0, l1, ep, w, mu in proofs.transition_checks_table or []:
+            if w == 0:
+                w0[(l0, l1, ep, 0)] = w0.get((l0, l1, ep, 0), 0) + mu
+        if sorted(k + (mu,) for k, mu in w0.items()) != sorted(
+            proofs.holdings_checks_table
+        ):
+            return False
+        pool_set = set(
+            zip(proofs.builtins.pedersen_pairs, proofs.builtins.pedersen_outputs)
+        )
+        for a, b, h, _mu in proofs.holdings_pool_claims:
+            if ((a, b), h) not in pool_set:
+                return False
+        try:
+            air = HoldingsMergeAir(
+                proofs.holdings_pool_claims,
+                proofs.holdings_checks_table,
+                proofs.holdings_n_blocks,
+            )
+        except AssertionError:
+            return False
+        if not verify_stark(air, proofs.holdings_proof):
+            return False
+    elif proofs.transition_proof is not None and proofs.holdings_checks_table:
+        # A proven bundle with ratio-path checks must carry the merge proof.
+        return False
     return True

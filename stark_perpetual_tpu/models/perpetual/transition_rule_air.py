@@ -19,11 +19,12 @@ RULE of validate_state_transition.cairo:20-94 on those totals, one
     the totals compared here are exactly the ones PositionStatusAir
     proved — a check consuming a fabricated total dies on the grand sum.
 
-What stays host-checked: ``check_smaller_in_synthetic_holdings``
-(check_smaller_holdings.cairo:8-102 — the per-asset sorted-merge pairing
-of the two snapshots) and the binding of (initial leaf, updated leaf)
-pairs to the batch's update flow; both remain engine cross-checks on the
-public checks table, like the journals of the bus AIRs.
+``check_smaller_in_synthetic_holdings`` (check_smaller_holdings.cairo:
+8-102) is proven by the companion ``HoldingsMergeAir``
+(holdings_merge_air.py) over the same checks table; what stays
+host-checked is only the binding of (initial leaf, updated leaf) pairs
+to the batch's update flow — an engine cross-check on the public checks
+table, like the journals of the bus AIRs.
 
 Public surface: the checks table [(leaf0, leaf1, epoch, w, mult)] and
 the consumed status-claims table (shared verbatim with the status AIR's
