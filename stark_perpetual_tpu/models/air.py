@@ -404,11 +404,12 @@ class StarkProver:
             icols = jnp.asarray(np.stack([f.pack(list(col)) for col in inter_cols]))
             icoeffs = ntt.ntt(icols, inverse=True)
             inter_ldes_all = ntt.lde(icoeffs, self.blowup, shift=FIELD_GEN)
-            inter_tree, _bad_i = commit_columns(inter_ldes_all)
+            inter_tree, bad_i = commit_columns(inter_ldes_all)
             inter_root = inter_tree.root
             channel.absorb(inter_root)
             ldes_cat = jnp.concatenate([ldes_all, inter_ldes_all], axis=0)
         else:
+            bad_i = bad_t
             ldes_cat = ldes_all
 
         # 3-5. Composition (same jitted program as the host path).
@@ -480,7 +481,7 @@ class StarkProver:
         )
         parts_std = comp_coeffs[: n_parts * n].reshape(n_parts, n, N_LIMBS)
         h_ldes = ntt.lde(parts_std, self.blowup, shift=FIELD_GEN)
-        comp_tree, _bad_c = commit_columns(h_ldes)
+        comp_tree, bad_c = commit_columns(h_ldes)
         comp_root = comp_tree.root
         channel.absorb(comp_root)
 
@@ -536,11 +537,12 @@ class StarkProver:
         pow_nonce = fri_channel.grind(self.grinding_bits)
         indices = fri_channel.query_indices(self.n_queries, big)
 
-        # Poison check: exceptional EC additions are ~2^-250 per hash; a
-        # single fetched flag guards the whole device hashing pipeline.
-        assert not bool(np.asarray(bad_t)) and not bool(np.asarray(bad_f)), (
-            "Unhashable input."
-        )
+        # Poison check: exceptional EC additions are ~2^-250 per hash; the
+        # OR of every commit's flag (trace, interaction, composition, FRI)
+        # guards the whole device hashing pipeline with one fetch.
+        assert not any(
+            bool(np.asarray(flag)) for flag in (bad_t, bad_i, bad_c, bad_f)
+        ), "Unhashable input."
 
         # 9. Query openings: one gather dispatch per device buffer.
         lde_flat = ldes_cat.reshape(-1, N_LIMBS)

@@ -53,9 +53,13 @@ from stark_perpetual_tpu.ops.pedersen import pedersen_call_log
 
 __all__ = [
     "BatchBuiltinProofs",
+    "BatchPublicContext",
+    "batch_public_context",
     "prove_batch_builtins",
     "prove_batch_commitments",
+    "prove_batch_execution",
     "verify_batch_builtins",
+    "verify_batch_execution",
 ]
 
 
@@ -192,6 +196,17 @@ class BatchExecutionProofs:
     plus the transaction-update, (epoch, asset) funding-index and
     (position, epoch) funding-event tables — funding-total consistency is
     proven in-trace by PositionBusAir (no verifier-side replay).
+
+    Residual host-trusted bindings (everything else is in-proof or
+    re-derived from public inputs by ``verify_batch_execution``): the
+    (leaf0, leaf1) pairs of the transition checks table are bound to the
+    batch's position-update flow only by the prove-side engine recorder
+    (check_valid_transition), not yet by a cross-AIR argument — a
+    verifier knows every pair was status-proven and rule-checked, and
+    that position updates imply a non-empty checks table, but not that
+    each pair is the (funded initial, updated) snapshot of one specific
+    update. The per-epoch price table and the risk table ARE bound when
+    a ``BatchPublicContext`` is supplied.
     """
 
     builtins: BatchBuiltinProofs
@@ -536,7 +551,153 @@ def _multiset_contained(sub, full) -> bool:
     return all(v >= 0 for v in have.values())
 
 
-def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
+@dataclass(frozen=True)
+class BatchPublicContext:
+    """Derived-public context for ``verify_batch_execution``.
+
+    Everything here is public to the on-chain verifier: the general
+    config is hash-committed in the program output
+    (general_config_hash.cairo:101-148), the previous shared state
+    (carried oracle prices + system time) is the output's prev-state
+    words, and the signed min/max oracle-price vectors are bound to the
+    batch's PROVEN ecdsa pool at verify time (their median/quorum
+    re-check below uses no live signature verification — validity comes
+    from pool membership).
+    """
+
+    general_config: object
+    prev_oracle_prices: tuple  # carried OraclePrice rows of prev state
+    signed_min_oracle_prices: tuple  # AssetOraclePrice incl. signatures
+    signed_max_oracle_prices: tuple
+    prev_system_time: int
+    end_system_time: int
+
+
+def batch_public_context(program_input) -> BatchPublicContext:
+    """The public context of one batch, as a verifier would assemble it
+    from the program output + operator-published signed prices."""
+    prev = program_input.prev_shared_state
+    return BatchPublicContext(
+        general_config=program_input.general_config,
+        prev_oracle_prices=tuple(prev.oracle_prices),
+        signed_min_oracle_prices=tuple(program_input.signed_min_oracle_prices),
+        signed_max_oracle_prices=tuple(program_input.signed_max_oracle_prices),
+        prev_system_time=prev.system_time,
+        end_system_time=program_input.end_system_time,
+    )
+
+
+class _PoolBackedCrypto:
+    """CryptoPrepass stand-in for verify-time oracle re-checks.
+
+    A signature is "valid" iff its (msg, r, s, signer) tuple is one of
+    the batch's proven ECDSA obligations — no live verification, the
+    pool proof already established it (oracle_price.cairo:96-108)."""
+
+    def __init__(self, ecdsa_items, hash_function):
+        self._proven = {(m, r, s, pt[0]) for m, r, s, pt in ecdsa_items}
+        self._valid: dict = {}
+        self._hash = hash_function
+
+    def register(self, sig) -> None:
+        from stark_perpetual_tpu.models.perpetual.transactions import (
+            oracle_price_message,
+        )
+
+        msg = oracle_price_message(
+            sig.signed_asset_id, sig.external_price, sig.timestamp, self._hash
+        )
+        self._valid[id(sig)] = (
+            msg, sig.signature_r, sig.signature_s, sig.signer_key
+        ) in self._proven
+
+    def valid(self, key) -> bool:
+        return self._valid[key]
+
+
+def _config_risk_rows(config):
+    """The exact (asset, prev_upper, upper, risk) rows the config's risk
+    step function induces (general_config.cairo:48-85): the only rows a
+    sound status proof may look up."""
+    from stark_perpetual_tpu.params import FIELD_PRIME
+
+    rows = set()
+    for info in config.synthetic_assets_info:
+        prev = FIELD_PRIME - 1  # -1 sentinel: amount - prev - 1 == amount
+        for seg in info.risk_factor_segments:
+            rows.add((info.asset_id, prev, seg.upper_bound, seg.risk))
+            prev = seg.upper_bound
+    return rows
+
+
+def _verify_status_tables(proofs: BatchExecutionProofs, ctx: BatchPublicContext) -> bool:
+    """Bind the status AIR's price/risk lookup tables to public data:
+    the risk table must be rows of the hash-committed general config, and
+    every price must be either the carried-in price of the prev shared
+    state or inside the signed min/max window whose median/quorum checks
+    are re-run against the proven ECDSA pool (ADVICE r4)."""
+    from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash
+    from stark_perpetual_tpu.models.perpetual.engine import check_oracle_prices
+    from stark_perpetual_tpu.models.perpetual.objects import (
+        BatchProofError,
+        TimeBounds,
+        validate_general_config,
+    )
+
+    config = ctx.general_config
+    try:
+        validate_general_config(config)
+    except BatchProofError:
+        return False
+    if proofs.status_rb_only != (1 if config.is_risk_by_balance_only else 0):
+        return False
+    risk_rows = _config_risk_rows(config)
+    for aid, lo, hi, risk, _mu in proofs.status_risk_claims or []:
+        if (aid, lo, hi, risk) not in risk_rows:
+            return False
+
+    # Re-run the batch's oracle min/max median+quorum checks with
+    # signature validity drawn from the proven pool.
+    crypto = _PoolBackedCrypto(proofs.builtins.ecdsa_items, fast_pedersen_hash)
+    for vec in (ctx.signed_min_oracle_prices, ctx.signed_max_oracle_prices):
+        for aop in vec:
+            for sig in aop.signed_prices:
+                crypto.register(sig)
+    time_bounds = TimeBounds(
+        min_time=ctx.prev_system_time
+        - config.timestamp_validation_config.price_validity_period,
+        max_time=ctx.end_system_time,
+    )
+    try:
+        check_oracle_prices(ctx.signed_min_oracle_prices, time_bounds, config, crypto)
+        check_oracle_prices(ctx.signed_max_oracle_prices, time_bounds, config, crypto)
+    except BatchProofError:
+        return False
+
+    carried = {p.asset_id: p.price for p in ctx.prev_oracle_prices}
+    window = {}
+    for aop in ctx.signed_min_oracle_prices:
+        window[aop.asset_id] = [aop.price, None]
+    for aop in ctx.signed_max_oracle_prices:
+        if aop.asset_id not in window:
+            return False
+        window[aop.asset_id][1] = aop.price
+    for _ep, aid, price, _mu in proofs.status_price_claims or []:
+        if carried.get(aid) == price:
+            continue  # reachable: carried-in regime of the prev state
+        w = window.get(aid)
+        if w is None or w[1] is None or not (w[0] <= price <= w[1]):
+            # Every tick price must sit inside the signed window
+            # (oracle_prices_tick.cairo:96-112), so any other price is
+            # unreachable by a real batch.
+            return False
+    return True
+
+
+def verify_batch_execution(
+    proofs: BatchExecutionProofs,
+    context: Optional[BatchPublicContext] = None,
+) -> bool:
     """Re-derive every AIR from the public inputs and check all proofs.
 
     Both business-logic verifiers need only journals + claims tables (the
@@ -544,6 +705,13 @@ def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
     verifier cross-checks every claimed message against the ECDSA pool's
     verified signatures; funding-total consistency needs no host replay —
     PositionBusAir proves it in-trace.
+
+    With ``context`` (see ``BatchPublicContext``) the solvency lookup
+    tables are additionally bound to public data: risk rows rebuilt from
+    the hash-committed config, prices bound to the carried prev state or
+    the signed min/max window re-checked against the proven ECDSA pool.
+    Without it those two tables are host-trusted (they are still
+    range-checked by the AIR constructors so no in-trace product wraps).
     """
     from stark_perpetual_tpu.models.air import verify_stark
     from stark_perpetual_tpu.models.perpetual.fulfillment_air import (
@@ -556,6 +724,40 @@ def verify_batch_execution(proofs: BatchExecutionProofs) -> bool:
 
     if not verify_batch_builtins(proofs.builtins):
         return False
+
+    # Solvency-bundle well-formedness (ADVICE r4). A transition proof is
+    # only meaningful against STATUS-PROVEN claims: reject any bundle that
+    # carries the transition proof (or a solvency surface) without the
+    # status proof. In proven mode (any business proof present) the whole
+    # solvency surface must be proven, and position updates imply
+    # transition checks — every successful update_position ends in
+    # check_valid_transition (update_position.cairo:24-211), and 'upd'
+    # claims are only committed on success.
+    if proofs.transition_proof is not None and proofs.status_proof is None:
+        return False
+    if proofs.status_proof is not None and (
+        proofs.transition_checks_table and proofs.transition_proof is None
+    ):
+        return False
+    proven_mode = any(
+        p is not None
+        for p in (
+            proofs.fulfillment_proof,
+            proofs.position_proof,
+            proofs.order_link_proof,
+        )
+    )
+    if proven_mode:
+        if (proofs.status_claims or proofs.transition_checks_table) and (
+            proofs.status_proof is None or proofs.transition_proof is None
+        ):
+            return False
+        if proofs.position_upd_claims and not proofs.transition_checks_table:
+            return False
+
+    if context is not None and not _verify_status_tables(proofs, context):
+        return False
+
     claimed_hashes = {msg for msg, _r, _s, _pt in proofs.builtins.ecdsa_items}
     for msg, _oid, ful, mu in proofs.fulfillment_claims:
         if msg not in claimed_hashes:

@@ -196,6 +196,16 @@ class PositionStatusAir(DslAir, Air):
         self.status_claims = [tuple(c) for c in status_claims]
         for _leaf, _ep, tvb, tr, mu in self.status_claims:
             assert 0 <= tvb < (1 << 96) and 0 <= tr < B128 and mu >= 0
+        # Range-check the lookup tables so no in-trace product can wrap
+        # mod p: price < 2^64 keeps price*|bal| < 2^127 (the dlo/dhi
+        # ladders then witness genuine integer inequalities) and
+        # risk < 2^32 keeps price*|bal|*risk < 2^159 (constants.cairo:9-58
+        # bounds; ADVICE r4). The lower sentinel p-1 acts as -1.
+        for _ep, _aid, price, mu in self.price_claims:
+            assert 0 < price < B64 and mu >= 0
+        for _aid, lo, hi, risk, mu in self.risk_claims:
+            assert lo == FIELD_PRIME - 1 or 0 <= lo < B128
+            assert 0 <= hi < B128 and 0 < risk < B32 and mu >= 0
         self.n_blocks = n_blocks
         self.rb_only = 1 if is_risk_by_balance_only else 0
         m = 1

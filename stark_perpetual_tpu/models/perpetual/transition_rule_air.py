@@ -121,6 +121,12 @@ class TransitionRuleAir(DslAir, Air):
         self.status_claims = [tuple(c) for c in status_claims]
         for _l0, _l1, _ep, w, mu in self.checks_table:
             assert w in (0, 1) and mu >= 0
+        # The ratio-path 224-bit ladder is sound only under the system
+        # bounds |tv| < 2^95, tr < 2^128 (status.cairo:104-136). The status
+        # AIR proves them for its claims; assert them here too so this AIR
+        # is safe even against a malformed claims table (ADVICE r4).
+        for _leaf, _ep, tvb, tr, mu in self.status_claims:
+            assert 0 <= tvb < B96 and 0 <= tr < (1 << 128) and mu >= 0
         self.n_checks = n_checks
         m = 1
         while m < max(2, n_checks):

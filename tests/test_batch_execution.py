@@ -114,6 +114,106 @@ def dc_replace_proofs(proofs, **kw):
     return replace(proofs, **kw)
 
 
+def test_solvency_bundle_guards(proven):
+    """ADVICE r4: a transition proof must never be judged against
+    free-floating status claims, and a proven bundle may not silently
+    drop its solvency surface while position updates exist."""
+    from stark_perpetual_tpu.models.perpetual.prove import verify_batch_execution
+
+    proofs, _result = proven
+    assert proofs.status_proof is not None
+    assert proofs.transition_proof is not None
+    assert not verify_batch_execution(dc_replace_proofs(proofs, status_proof=None))
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, transition_proof=None)
+    )
+    assert not verify_batch_execution(
+        dc_replace_proofs(
+            proofs,
+            status_proof=None,
+            transition_proof=None,
+            holdings_proof=None,
+            status_pool_claims=[],
+            status_price_claims=[],
+            status_risk_claims=[],
+            status_claims=[],
+            transition_checks_table=[],
+            holdings_pool_claims=[],
+            holdings_checks_table=[],
+        )
+    )
+
+
+def test_transition_rule_air_range_asserts():
+    """TransitionRuleAir must reject mod-p-aliasing status claims
+    (ADVICE r4: the 224-bit ratio ladder assumes |tv|<2^95, tr<2^128)."""
+    import pytest
+
+    from stark_perpetual_tpu.models.perpetual.transition_rule_air import (
+        TransitionRuleAir,
+    )
+    from stark_perpetual_tpu.params import FIELD_PRIME
+
+    good_claims = [(7, 0, 1 << 90, 5, 1)]
+    checks = [(0, 7, 0, 1, 1)]
+    TransitionRuleAir(checks, good_claims, 1)  # sane claims construct fine
+    with pytest.raises(AssertionError):
+        TransitionRuleAir(checks, [(7, 0, FIELD_PRIME - 5, 5, 1)], 1)
+    with pytest.raises(AssertionError):
+        TransitionRuleAir(checks, [(7, 0, 1 << 90, 1 << 129, 1)], 1)
+
+
+def test_status_table_public_binding(proven, batch_world):
+    """With a BatchPublicContext the risk table must be config rows and
+    every price must be carried-in or inside the signed window whose
+    median/quorum checks are re-run against the proven ECDSA pool."""
+    from dataclasses import replace as dc_replace
+
+    from stark_perpetual_tpu.models.perpetual import prove as P
+
+    proofs, _result = proven
+    ctx = P.batch_public_context(batch_world)
+    assert P.verify_batch_execution(proofs, context=ctx)
+    assert P._verify_status_tables(proofs, ctx)
+
+    # Fabricated risk factor: not a row of the hash-committed config.
+    aid, lo, hi, rk, mu = proofs.status_risk_claims[0]
+    bad = dc_replace_proofs(
+        proofs,
+        status_risk_claims=[(aid, lo, hi, rk + 1, mu)]
+        + list(proofs.status_risk_claims[1:]),
+    )
+    assert not P._verify_status_tables(bad, ctx)
+
+    # Fabricated price: neither carried-in nor inside the signed window.
+    ep, paid, pr, pmu = proofs.status_price_claims[0]
+    bad = dc_replace_proofs(
+        proofs,
+        status_price_claims=[(ep, paid, pr + 10**9, pmu)]
+        + list(proofs.status_price_claims[1:]),
+    )
+    assert not P._verify_status_tables(bad, ctx)
+
+    # rb_only flag must match the config.
+    bad = dc_replace_proofs(proofs, status_rb_only=1 - proofs.status_rb_only)
+    assert not P._verify_status_tables(bad, ctx)
+
+    # Tampered signed price vector: its oracle message is no longer a
+    # proven ECDSA obligation, so the window re-check must fail.
+    aop0 = ctx.signed_min_oracle_prices[0]
+    sig0 = aop0.signed_prices[0]
+    bad_sig = dc_replace(sig0, external_price=sig0.external_price + 1)
+    bad_aop = dc_replace(
+        aop0, signed_prices=(bad_sig,) + tuple(aop0.signed_prices[1:])
+    )
+    bad_ctx = dc_replace(
+        ctx,
+        signed_min_oracle_prices=(bad_aop,)
+        + tuple(ctx.signed_min_oracle_prices[1:]),
+    )
+    assert not P._verify_status_tables(proofs, bad_ctx)
+
+
 def test_funding_public_surface():
     """A batch with a funding tick: the (epoch, asset) -> index table and
     (position, epoch) event table are the public surface (the in-proof
