@@ -272,6 +272,7 @@ def bench_batch_execution_prove() -> None:
     bundle covers five business-logic AIRs (fulfillment + position
     buses, order links, position status, transition rules)."""
     from stark_perpetual_tpu.models.perpetual.prove import (
+        batch_public_context,
         prove_batch_execution,
         verify_batch_execution,
     )
@@ -279,7 +280,7 @@ def bench_batch_execution_prove() -> None:
 
     program_input = sample_batch_input(n_trades=1)
     t0 = time.time()
-    proofs, _result = prove_batch_execution(
+    proofs, result = prove_batch_execution(
         program_input, blowup=4, n_queries=16, prove_builtins=False
     )
     dt = time.time() - t0
@@ -295,8 +296,13 @@ def bench_batch_execution_prove() -> None:
     # lose the measured prove wall. Verification of this exact bundle is
     # asserted right after (and covered by tests/test_batch_execution.py).
     emit("batch_execution_prove_wall", dt, "s", TARGET_BATCH_PROVE_WALL, invert=True)
-    assert verify_batch_execution(proofs)
-    print("batch_execution_prove: bundle verified", file=sys.stderr)
+    assert verify_batch_execution(
+        proofs, context=batch_public_context(program_input, result)
+    )
+    print(
+        "batch_execution_prove: bundle verified (public-context bound)",
+        file=sys.stderr,
+    )
 
 
 def main() -> int:

@@ -156,6 +156,10 @@ class Air:
 import contextlib
 
 
+_MONT_MODE_LOCK = __import__("threading").Lock()
+_MONT_MODE_DEPTH = 0
+
+
 @contextlib.contextmanager
 def _fused_mont_mode():
     """Trace fused-prover programs under the 'columns' mont-mul lowering.
@@ -167,17 +171,32 @@ def _fused_mont_mode():
     the same arithmetic at a modest runtime cost — the right trade for
     every program the fused prover traces. An explicit STARK_TPU_MONT_MUL
     (or a CPU backend, where tests pick their own mode) is respected.
+
+    Re-entrant and thread-safe (refcounted): concurrent proves (the
+    thread-parallel batch bundle) must not pop the env var while a
+    sibling is still tracing under it.
     """
     import jax
 
-    if os.environ.get("STARK_TPU_MONT_MUL") or jax.default_backend() == "cpu":
+    global _MONT_MODE_DEPTH
+    if jax.default_backend() == "cpu":
         yield
         return
-    os.environ["STARK_TPU_MONT_MUL"] = "columns"
+    with _MONT_MODE_LOCK:
+        user_set = _MONT_MODE_DEPTH == 0 and bool(os.environ.get("STARK_TPU_MONT_MUL"))
+        if not user_set:
+            _MONT_MODE_DEPTH += 1
+            os.environ["STARK_TPU_MONT_MUL"] = "columns"
+    if user_set:
+        yield
+        return
     try:
         yield
     finally:
-        os.environ.pop("STARK_TPU_MONT_MUL", None)
+        with _MONT_MODE_LOCK:
+            _MONT_MODE_DEPTH -= 1
+            if _MONT_MODE_DEPTH == 0:
+                os.environ.pop("STARK_TPU_MONT_MUL", None)
 
 
 def stark_security_bits(blowup: int, n_queries: int, grinding_bits: int = 0) -> int:
@@ -375,14 +394,30 @@ class StarkProver:
         big = n * self.blowup
         ntt = ntt_ops()
 
+        # Optional phase-timing (STARK_TIMING=1): wall at each blocking
+        # point, printed to stderr — the tunnel cost model depends on
+        # which fetches dominate.
+        import sys as _sys
+        import time as _time
+
+        _marks = [] if os.environ.get("STARK_TIMING") else None
+
+        def _t(label):
+            if _marks is not None:
+                _marks.append((label, _time.time()))
+
+        _t("start")
+
         # 1. Interpolate + LDE (device-resident).
         cols = jnp.asarray(np.stack([f.pack(list(col)) for col in trace_columns]))
         coeffs = ntt.ntt(cols, inverse=True)
         ldes_all = ntt.lde(coeffs, self.blowup, shift=FIELD_GEN)
+        _t("pack+lde_dispatch")
 
         # 2. Commit the trace: row-leaf chain + all tree levels, one program.
         trace_tree, bad_t = commit_columns(ldes_all)
         trace_root = trace_tree.root
+        _t("trace_commit")
 
         channel = Channel()
         channel.absorb(
@@ -411,6 +446,7 @@ class StarkProver:
         else:
             bad_i = bad_t
             ldes_cat = ldes_all
+        _t("interaction")
 
         # 3-5. Composition (same jitted program as the host path).
         pub_cols = air.public_columns()
@@ -484,6 +520,7 @@ class StarkProver:
         comp_tree, bad_c = commit_columns(h_ldes)
         comp_root = comp_tree.root
         channel.absorb(comp_root)
+        _t("composition+commit")
 
         # 7. Out-of-domain openings.
         z = channel.challenge()
@@ -505,6 +542,7 @@ class StarkProver:
         ood_comp = [int(v) for v in unpack_ints(np.asarray(eval_h(parts_std, zpow)))]
         for v in ood_trace + ood_trace_next + ood_comp:
             channel.absorb(v)
+        _t("ood")
 
         # 8. DEEP quotient (device) + fused FRI (device).
         g1 = [channel.challenge() for _ in range(n_total)]
@@ -536,6 +574,7 @@ class StarkProver:
             fri_channel.absorb(c)
         pow_nonce = fri_channel.grind(self.grinding_bits)
         indices = fri_channel.query_indices(self.n_queries, big)
+        _t("deep+fri")
 
         # Poison check: exceptional EC additions are ~2^-250 per hash; the
         # OR of every commit's flag (trace, interaction, composition, FRI)
@@ -626,6 +665,19 @@ class StarkProver:
                 path_mx = fri_vals[start + 2 + depth : start + 2 + 2 * depth]
                 per_layer.append((fx, fmx, path_x, path_mx))
             queries.append(per_layer)
+
+        _t("query_gathers")
+        if _marks is not None:
+            parts = ", ".join(
+                f"{lbl}={_marks[i + 1][1] - _marks[i][1]:.2f}s"
+                for i, (lbl, _ts) in enumerate(_marks[1:])
+                for lbl in [_marks[i + 1][0]]
+            )
+            print(
+                f"[stark-timing] {type(air).__name__} n={n} big={big}: {parts} "
+                f"(total {_marks[-1][1] - _marks[0][1]:.2f}s)",
+                file=_sys.stderr,
+            )
 
         fri_proof = FriProof(
             layer_roots=layer_roots,

@@ -461,43 +461,91 @@ def prove_batch_execution(
     status_proof = None
     rule_proof = None
     merge_proof = None
+    pos_proof = None
     if prove:
-        import jax
+        import os as _os
+        import sys as _sys
+        import time as _time
 
+        _timing = bool(_os.environ.get("STARK_TIMING"))
+
+        # One job per business AIR. The proofs are independent (each has
+        # its own Fiat-Shamir transcript), so off-CPU they run on a thread
+        # pool: executable-cache loads and host glue overlap while the
+        # device serializes only the actual kernel work — through the
+        # remote-TPU tunnel the loads dominate the first prove and the
+        # dispatch round trips dominate steady state, and both overlap
+        # across proofs. On CPU they stay serial because each prove must
+        # drop live XLA:CPU executables first (long-session compile
+        # aborts — see drop_cpu_executables).
+        jobs = []
         if ful_air is not None:
-            drop_cpu_executables()
-            ful_proof = StarkProver(ful_air, blowup=blowup, n_queries=n_queries).prove(
-                ful_air.trace(result.order_access_log)
+            jobs.append(
+                ("fulfillment", ful_air, blowup,
+                 lambda: ful_air.trace(result.order_access_log))
             )
         if pos_air is not None:
-            drop_cpu_executables()
-            pos_proof = StarkProver(pos_air, blowup=blowup, n_queries=n_queries).prove(
-                pos_air.trace(pos_accesses)
+            jobs.append(
+                ("position", pos_air, blowup, lambda: pos_air.trace(pos_accesses))
             )
-        else:
-            pos_proof = None
         if link_air is not None:
-            drop_cpu_executables()
-            link_proof = StarkProver(
-                link_air, blowup=max(blowup, 4), n_queries=n_queries
-            ).prove(link_air.trace(result.order_exec_log))
+            jobs.append(
+                ("order_link", link_air, max(blowup, 4),
+                 lambda: link_air.trace(result.order_exec_log))
+            )
         if status_air is not None:
-            drop_cpu_executables()
-            status_proof = StarkProver(
-                status_air, blowup=max(blowup, 4), n_queries=n_queries
-            ).prove(status_air.trace(result.status_log, config))
+            jobs.append(
+                ("status", status_air, max(blowup, 4),
+                 lambda: status_air.trace(result.status_log, config))
+            )
         if rule_air is not None:
-            drop_cpu_executables()
-            rule_proof = StarkProver(
-                rule_air, blowup=max(blowup, 4), n_queries=n_queries
-            ).prove(rule_air.trace(result.transition_check_log))
+            jobs.append(
+                ("transition", rule_air, max(blowup, 4),
+                 lambda: rule_air.trace(result.transition_check_log))
+            )
         if merge_air is not None:
-            drop_cpu_executables()
-            merge_proof = StarkProver(
-                merge_air, blowup=max(blowup, 4), n_queries=n_queries
-            ).prove(merge_air.trace(result.merge_pair_log))
-    else:
-        pos_proof = None
+            jobs.append(
+                ("holdings", merge_air, max(blowup, 4),
+                 lambda: merge_air.trace(result.merge_pair_log))
+            )
+
+        def _run(job):
+            name, air_obj, blow, trace_fn = job
+            t0 = _time.time()
+            proof = StarkProver(air_obj, blowup=blow, n_queries=n_queries).prove(
+                trace_fn()
+            )
+            if _timing:
+                print(
+                    f"[batch-timing] {name}: {_time.time() - t0:.2f}s",
+                    file=_sys.stderr,
+                )
+            return name, proof
+
+        import jax as _jax
+
+        mode = _os.environ.get("STARK_PARALLEL_PROVE", "auto")
+        use_parallel = mode == "1" or (
+            mode == "auto" and _jax.default_backend() != "cpu" and len(jobs) > 1
+        )
+        proofs_by_name = {}
+        if use_parallel:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                for name, proof in pool.map(_run, jobs):
+                    proofs_by_name[name] = proof
+        else:
+            for job in jobs:
+                drop_cpu_executables()
+                name, proof = _run(job)
+                proofs_by_name[name] = proof
+        ful_proof = proofs_by_name.get("fulfillment")
+        pos_proof = proofs_by_name.get("position")
+        link_proof = proofs_by_name.get("order_link")
+        status_proof = proofs_by_name.get("status")
+        rule_proof = proofs_by_name.get("transition")
+        merge_proof = proofs_by_name.get("holdings")
 
     return (
         BatchExecutionProofs(
@@ -571,12 +619,25 @@ class BatchPublicContext:
     signed_max_oracle_prices: tuple
     prev_system_time: int
     end_system_time: int
+    # Funding continuity (public): the prev state's FundingIndicesInfo and
+    # the batch's emitted funding-indices table (serialized into the
+    # program output — output.py:_serialize_program_output's funding
+    # segment, program_output.cairo:73-105).
+    prev_global_funding_indices: object = None
+    funding_indices_table: tuple = ()
 
 
-def batch_public_context(program_input) -> BatchPublicContext:
+def batch_public_context(program_input, result=None) -> BatchPublicContext:
     """The public context of one batch, as a verifier would assemble it
-    from the program output + operator-published signed prices."""
+    from the program output + operator-published signed prices. Pass the
+    run ``result`` (or any object with ``outputs.funding_indices_table``)
+    to bind the funding tables too — without it, a batch whose claims
+    reference funding epochs past the prev state fails context
+    verification (the verifier must see the emitted funding table)."""
     prev = program_input.prev_shared_state
+    table = ()
+    if result is not None:
+        table = tuple(result.outputs.funding_indices_table)
     return BatchPublicContext(
         general_config=program_input.general_config,
         prev_oracle_prices=tuple(prev.oracle_prices),
@@ -584,6 +645,8 @@ def batch_public_context(program_input) -> BatchPublicContext:
         signed_max_oracle_prices=tuple(program_input.signed_max_oracle_prices),
         prev_system_time=prev.system_time,
         end_system_time=program_input.end_system_time,
+        prev_global_funding_indices=prev.global_funding_indices,
+        funding_indices_table=table,
     )
 
 
@@ -694,6 +757,86 @@ def _verify_status_tables(proofs: BatchExecutionProofs, ctx: BatchPublicContext)
     return True
 
 
+def _verify_funding_tables(proofs: BatchExecutionProofs, ctx: BatchPublicContext) -> bool:
+    """Bind the position AIR's funding claims to the public funding
+    tables and re-run the funding-tick validation rules from public data
+    (funding_tick.cairo:28-237): each claimed (epoch, asset) index must
+    be the emitted table's value, consecutive tables must keep every
+    carried asset, stay sorted/unique/in-range with non-decreasing
+    timestamps, and move no faster than max_funding_rate times a public
+    price cap. The cap is max(carried prev price, signed max window) —
+    the carried price at tick time is always one of the two, so this is
+    a sound (slightly lenient) public over-approximation of the engine's
+    exact carried-price bound."""
+    from stark_perpetual_tpu.models.perpetual.objects import (
+        ASSET_ID_UPPER_BOUND,
+        FUNDING_INDEX_LOWER_BOUND,
+        FUNDING_INDEX_UPPER_BOUND,
+        FXP_32_ONE,
+    )
+    from stark_perpetual_tpu.params import FIELD_PRIME
+
+    prev_info = ctx.prev_global_funding_indices
+    epoch_tables = {0: prev_info} if prev_info is not None else {}
+    for e, info in enumerate(ctx.funding_indices_table, start=1):
+        epoch_tables[e] = info
+
+    for eid, aid, g, _mu in proofs.position_fund_claims or []:
+        info = epoch_tables.get(eid)
+        if info is None:
+            return False
+        if info.index_of(aid) is None or info.index_of(aid) % FIELD_PRIME != g:
+            return False
+    for _pid, eid, _mu in proofs.position_event_claims or []:
+        if eid not in epoch_tables:
+            return False
+
+    config = ctx.general_config
+    carried = {p.asset_id: p.price for p in ctx.prev_oracle_prices}
+    window_max = {a.asset_id: a.price for a in ctx.signed_max_oracle_prices}
+
+    def price_cap(aid):
+        c = carried.get(aid)
+        w = window_max.get(aid)
+        if c is None and w is None:
+            return None
+        return max(v for v in (c, w) if v is not None)
+
+    prev = epoch_tables.get(0)
+    for e in range(1, len(ctx.funding_indices_table) + 1):
+        new = epoch_tables[e]
+        if prev is None:
+            return False
+        if new.funding_timestamp < prev.funding_timestamp:
+            return False
+        last_asset = -1
+        for fi in new.funding_indices:
+            if fi.asset_id <= last_asset:
+                return False  # unsorted / duplicate
+            if not (
+                FUNDING_INDEX_LOWER_BOUND
+                <= fi.funding_index
+                < FUNDING_INDEX_UPPER_BOUND
+            ):
+                return False
+            last_asset = fi.asset_id
+        if last_asset >= ASSET_ID_UPPER_BOUND:
+            return False
+        dt = new.funding_timestamp - prev.funding_timestamp
+        new_by_asset = {fi.asset_id: fi.funding_index for fi in new.funding_indices}
+        for fi in prev.funding_indices:
+            if fi.asset_id not in new_by_asset:
+                return False  # carried funding asset dropped
+            cap = price_cap(fi.asset_id)
+            if cap is None:
+                return False
+            diff = abs(new_by_asset[fi.asset_id] - fi.funding_index)
+            if config.max_funding_rate * cap * dt - diff * FXP_32_ONE < 0:
+                return False
+        prev = new
+    return True
+
+
 def verify_batch_execution(
     proofs: BatchExecutionProofs,
     context: Optional[BatchPublicContext] = None,
@@ -755,8 +898,11 @@ def verify_batch_execution(
         if proofs.position_upd_claims and not proofs.transition_checks_table:
             return False
 
-    if context is not None and not _verify_status_tables(proofs, context):
-        return False
+    if context is not None:
+        if not _verify_status_tables(proofs, context):
+            return False
+        if not _verify_funding_tables(proofs, context):
+            return False
 
     claimed_hashes = {msg for msg, _r, _s, _pt in proofs.builtins.ecdsa_items}
     for msg, _oid, ful, mu in proofs.fulfillment_claims:

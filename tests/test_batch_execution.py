@@ -273,3 +273,48 @@ def test_funding_public_surface():
     # its in-trace binding is test_position_bus.py's job, but the claims
     # surface must expose the epoch/asset mapping consistently.
     assert verify_batch_execution(proofs)  # host cross-links (no proofs)
+
+    # Funding binding with public context: claims must match the emitted
+    # funding table, and the table must satisfy the tick rules re-run
+    # from public data (funding_tick.cairo:28-237 verify-side).
+    from dataclasses import replace as dcr
+
+    from stark_perpetual_tpu.models.perpetual import prove as P
+    from stark_perpetual_tpu.models.perpetual.transactions import (
+        FundingIndex as FI,
+        FundingIndicesInfo as FII,
+    )
+
+    ctx = P.batch_public_context(program_input, _result)
+    assert verify_batch_execution(proofs, context=ctx)
+    assert P._verify_funding_tables(proofs, ctx)
+    # A context without the emitted funding table must fail: the claims
+    # reference epoch 1.
+    assert not P._verify_funding_tables(
+        proofs, P.batch_public_context(program_input)
+    )
+    # Tampered claim: index not the table's value.
+    bad = dc_replace_proofs(
+        proofs,
+        position_fund_claims=[
+            (e, a, g + 1, mu) for e, a, g, mu in proofs.position_fund_claims
+        ],
+    )
+    assert not P._verify_funding_tables(bad, ctx)
+    # Tampered table: funding index moves faster than the public price
+    # cap allows (rate bound re-run at verify time).
+    fast = FII(
+        funding_indices=(FI(E.BTC, 10**15),), funding_timestamp=t0 + 20
+    )
+    bad_ctx = dcr(ctx, funding_indices_table=(fast,))
+    assert not P._verify_funding_tables(proofs, bad_ctx)
+    # Same with CONSISTENT claims (isolates the rate-bound re-check from
+    # the claims-vs-table equality check).
+    consistent = dc_replace_proofs(
+        proofs,
+        position_fund_claims=[
+            (e, a, 10**15 if e == 1 else g, mu)
+            for e, a, g, mu in proofs.position_fund_claims
+        ],
+    )
+    assert not P._verify_funding_tables(consistent, bad_ctx)
