@@ -250,6 +250,14 @@ def _row_leaves(columns_lde: List[List[int]]) -> List[int]:
     return acc
 
 
+# Module-level composition-program cache: {structural fingerprint -> jitted
+# callable}. Populated only for DSL-built AIRs (whose traced computation is
+# fully determined by their expr trees + geometry); per-instance fallback
+# for hand-written AIRs. Keeps one callable alive per distinct constraint
+# system — bounded and small.
+_COMPOSITION_PROGRAMS: dict = {}
+
+
 class StarkProver:
     def __init__(
         self,
@@ -286,8 +294,31 @@ class StarkProver:
         points, values and interaction challenges are traced inputs, so the
         program is cached purely by shape and reused across proofs of the
         same AIR geometry.
+
+        DSL-built AIRs additionally hit a MODULE-level cache keyed by the
+        structural fingerprint of their constraint trees (Expr nodes are
+        hash-consed, so the expr tuple IS the fingerprint): a fresh
+        StarkProver for a new batch reuses the already-jitted callable
+        instead of re-tracing — which, through a remote-TPU tunnel, would
+        re-LOAD the multi-MB composition executable at ~1 MB/s on every
+        prove (measured 30-80 s per business AIR, the whole steady-state
+        cost of a batch bundle).
         """
         key = (n, big, n_pub, n_boundary, n_chal)
+        gkey = None
+        exprs = getattr(self.air, "_exprs", None)
+        if self.sharding is None and exprs is not None:
+            div = self.air.transition_divisors()
+            gkey = (
+                type(self.air).__qualname__,
+                tuple(exprs),
+                tuple(div) if div is not None else None,
+                self.blowup,
+                os.environ.get("STARK_TPU_MONT_MUL", ""),
+            ) + key
+            cached = _COMPOSITION_PROGRAMS.get(gkey)
+            if cached is not None:
+                return cached
         if key in self._programs:
             return self._programs[key]
 
@@ -345,6 +376,8 @@ class StarkProver:
             return f.from_mont(comp)
 
         self._programs[key] = run
+        if gkey is not None:
+            _COMPOSITION_PROGRAMS[gkey] = run
         return run
 
     def _use_fused(self) -> bool:
