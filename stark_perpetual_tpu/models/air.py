@@ -81,6 +81,16 @@ class Air:
     n_columns: int = 1
     transition_degree: int = 1
 
+    # True when the TRACED constraint evaluation uses no per-instance
+    # state (all instance data enters as traced inputs / challenges /
+    # public columns): the composition program can then be cached
+    # module-wide by (class, geometry), so a fresh prover for a new
+    # batch reuses the jitted callable instead of re-tracing — which
+    # through a remote-TPU tunnel re-loads a multi-MB executable at
+    # ~1 MB/s per prove. DSL AIRs are fingerprinted by their expr trees
+    # instead and need not set this.
+    composition_static: bool = False
+
     # --- optional second (interaction) trace phase -------------------------
     # Randomized arguments (memory permutations, lookups) need columns built
     # AFTER the main trace is committed, from verifier randomness. The prover
@@ -307,20 +317,36 @@ class StarkProver:
         key = (n, big, n_pub, n_boundary, n_chal)
         gkey = None
         exprs = getattr(self.air, "_exprs", None)
-        if self.sharding is None and exprs is not None:
+        static = getattr(self.air, "composition_static", False)
+        if self.sharding is None and (exprs is not None or static):
             div = self.air.transition_divisors()
             gkey = (
                 type(self.air).__qualname__,
-                tuple(exprs),
+                tuple(exprs) if exprs is not None else "static",
                 tuple(div) if div is not None else None,
                 self.blowup,
                 os.environ.get("STARK_TPU_MONT_MUL", ""),
             ) + key
             cached = _COMPOSITION_PROGRAMS.get(gkey)
             if cached is not None:
+                if os.environ.get("STARK_TIMING"):
+                    import sys as _sys
+
+                    print(
+                        f"[comp-cache] hit {type(self.air).__name__} {key}",
+                        file=_sys.stderr,
+                    )
                 return cached
         if key in self._programs:
             return self._programs[key]
+        if os.environ.get("STARK_TIMING"):
+            import sys as _sys
+
+            print(
+                f"[comp-cache] build {type(self.air).__name__} {key} "
+                f"(global={'yes' if gkey is not None else 'no'})",
+                file=_sys.stderr,
+            )
 
         import jax
 

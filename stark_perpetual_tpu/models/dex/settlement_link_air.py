@@ -199,6 +199,7 @@ class DexOrderLinkAir(Air):
     Interaction (11): inv_oc inv_d1..d4 inv_h1..h4 inv_hl acc.
     """
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 40
     n_interaction_columns = 11
     n_interaction_challenges = 3

@@ -102,6 +102,7 @@ def final_cells_from_state(final_vaults, l1_final_balances) -> Dict[tuple, tuple
 class DexVaultCellAir(Air):
     """AIR over the sorted vault-cell access log of one DEX batch."""
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 7  # pb, nb, pk, nk, pt, nt, suf
     transition_degree = 3
 

@@ -65,6 +65,7 @@ _DUMMY = MultBlock(1, SHIFT_POINT, EC_GEN, ec_add(SHIFT_POINT, EC_GEN, FIELD_PRI
 class EcMultAir(Air):
     """Pooled variable-base mimic ladders (one 256-row block each)."""
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 8  # suffix, px, py, s, inv, qx, qy, sq
     transition_degree = 3
 

@@ -64,6 +64,7 @@ _MAX_INPUT = (1 << 251) + 17 * (1 << 192)  # representable: [0, p - 1)
 class PedersenBuiltinAir(Air):
     """AIR for ``m`` pooled Pedersen hashes h_j = H(a_j, b_j)."""
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 7  # suffix, px, py, s, inv, hf, gf
     transition_degree = 4  # sel * hf * gf * bit (the t-cap constraint)
 

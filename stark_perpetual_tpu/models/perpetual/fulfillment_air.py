@@ -53,6 +53,7 @@ class FulfillmentAccess:
 class FulfillmentAir(Air):
     """AIR over the sorted fulfillment access log of one batch."""
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 4  # prev, new, suf_a (full-new ladder), suf_b (update ladder)
     transition_degree = 3
 
@@ -292,6 +293,7 @@ class FulfillmentBusAir(Air):
     into the next block, and into row 0 at the wrap).
     """
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 10  # oid, upd, ful, msg, prev, new, sa, sb, same, winv
     n_interaction_columns = 4  # inv_i, inv_f, inv_s, acc
     n_interaction_challenges = 3  # z, a, b

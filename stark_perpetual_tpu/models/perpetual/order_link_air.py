@@ -179,6 +179,7 @@ class OrderLinkAir(Air):
     Challenges: z, alpha, beta_ch (drawn) + S (derived claims grand sum).
     """
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 37
     n_interaction_columns = 9
     n_interaction_challenges = 3

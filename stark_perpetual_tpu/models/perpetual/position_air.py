@@ -165,6 +165,7 @@ def initial_cells_from_positions(positions) -> Dict[Tuple[int, int, int], int]:
 class PositionCellAir(Air):
     """AIR over the sorted position-cell access log of one batch."""
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 4  # prev, new, suf_a, suf_b
     transition_degree = 3
 

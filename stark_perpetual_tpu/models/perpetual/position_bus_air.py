@@ -160,6 +160,7 @@ class PositionBusAir(Air):
     Challenges: z, alpha, beta (drawn) + S (derived lookup grand sum).
     """
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 30
     n_interaction_columns = 7
     n_interaction_challenges = 3

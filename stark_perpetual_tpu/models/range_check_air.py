@@ -36,6 +36,7 @@ RC_BOUND = 1 << _NBITS
 class RangeCheckBuiltinAir(Air):
     """AIR for ``m`` pooled claims v_j in [0, 2^128)."""
 
+    composition_static = True  # traced constraints use no per-instance state
     n_columns = 1  # suffix
     transition_degree = 3
 
