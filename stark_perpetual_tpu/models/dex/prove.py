@@ -260,23 +260,52 @@ def prove_dex_execution(
 
     ord_proof = vlt_proof = link_proof = None
     if prove:
+        import os as _os
+
         import jax
 
+        # Same shape as the perpetual bundle: independent proofs, so
+        # off-CPU they run on a thread pool (executable loads and
+        # dispatch round trips overlap); CPU stays serial for the
+        # executable-drop discipline.
+        jobs = []
         if ord_air is not None:
-            drop_cpu_executables()
-            ord_proof = StarkProver(ord_air, blowup=blowup, n_queries=n_queries).prove(
-                ord_air.trace(ord_accesses)
+            jobs.append(
+                ("order", ord_air, blowup, lambda: ord_air.trace(ord_accesses))
             )
         if vlt_air is not None:
-            drop_cpu_executables()
-            vlt_proof = StarkProver(vlt_air, blowup=blowup, n_queries=n_queries).prove(
-                vlt_air.trace()
-            )
+            jobs.append(("vault", vlt_air, blowup, lambda: vlt_air.trace()))
         if link_air is not None:
-            drop_cpu_executables()
-            link_proof = StarkProver(
-                link_air, blowup=max(blowup, 4), n_queries=n_queries
-            ).prove(link_air.trace(result.order_exec_log))
+            jobs.append(
+                ("link", link_air, max(blowup, 4),
+                 lambda: link_air.trace(result.order_exec_log))
+            )
+
+        def _run(job):
+            name, air_obj, blow, trace_fn = job
+            return name, StarkProver(
+                air_obj, blowup=blow, n_queries=n_queries
+            ).prove(trace_fn())
+
+        mode = _os.environ.get("STARK_PARALLEL_PROVE", "auto")
+        use_parallel = mode == "1" or (
+            mode == "auto" and jax.default_backend() != "cpu" and len(jobs) > 1
+        )
+        by_name = {}
+        if use_parallel:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                for name, proof in pool.map(_run, jobs):
+                    by_name[name] = proof
+        else:
+            for job in jobs:
+                drop_cpu_executables()
+                name, proof = _run(job)
+                by_name[name] = proof
+        ord_proof = by_name.get("order")
+        vlt_proof = by_name.get("vault")
+        link_proof = by_name.get("link")
 
     return (
         DexExecutionProofs(

@@ -455,6 +455,12 @@ def execute_liquidate(state, batch_config, outputs, crypto, tx: Liquidate) -> No
         tv, tr, code = position_get_status(funded, state.oracle_prices, config)
         proof_assert(code == ErrorCode.SUCCESS, code)
         proof_assert(tr > tv * FXP_32_ONE, ErrorCode.UNLIQUIDATABLE_POSITION)
+        # Witness for ThresholdRuleAir kind 0 (liquidate.cairo:99-124).
+        from stark_perpetual_tpu.models.perpetual.position import (
+            record_threshold_check,
+        )
+
+        record_threshold_check(0, funded, state.oracle_prices, (tv, tr))
 
         initial_balance = funded.asset_balance(order.asset_id_synthetic)
         if order.is_buying_synthetic == 0:
@@ -537,6 +543,17 @@ def execute_deleverage(state, batch_config, outputs, crypto, tx: Deleverage) -> 
     proof_assert(
         initial_tv * updated_tr > (updated_tv - FXP_32_ONE) * initial_tr,
         ErrorCode.UNFAIR_DELEVERAGE,
+    )
+    # Witnesses for ThresholdRuleAir kinds 1 and 2 (deleverage.cairo
+    # UNDELEVERAGABLE_POSITION and UNFAIR_DELEVERAGE).
+    from stark_perpetual_tpu.models.perpetual.position import record_threshold_check
+
+    record_threshold_check(
+        1, dlvgbl_funded, state.oracle_prices, (initial_tv, initial_tr)
+    )
+    record_threshold_check(
+        2, dlvgbl_updated, state.oracle_prices, (updated_tv, updated_tr),
+        initial=dlvgbl_funded, initial_status=(initial_tv, initial_tr),
     )
 
 

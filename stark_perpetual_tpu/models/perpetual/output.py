@@ -271,6 +271,9 @@ class ProgramRunResult:
     # (initial, updated) StatusRecord pairs of the ratio-path checks,
     # the HoldingsMergeAir witness.
     merge_pair_log: list = None
+    # Liquidate/deleverage solvency gates (threshold_rule_air.
+    # ThresholdCheck), the ThresholdRuleAir witness.
+    threshold_log: list = None
 
 
 def run_program(
@@ -345,4 +348,5 @@ def run_program(
         status_log=list(status_rec.records),
         transition_check_log=list(status_rec.checks),
         merge_pair_log=list(status_rec.merge_pairs),
+        threshold_log=list(status_rec.thresholds),
     )

@@ -83,6 +83,7 @@ class StatusCheckRecorder:
         self.records = []  # StatusRecord per successful TV/TR evaluation
         self.checks = []  # TransitionCheck per successful transition check
         self.merge_pairs = []  # (initial_rec, updated_rec) per ratio-path check
+        self.thresholds = []  # ThresholdCheck per liquidate/deleverage gate
         self._epochs: dict = {}
 
     def epoch_of(self, oracle_prices) -> int:
@@ -139,6 +140,55 @@ class StatusCheckRecorder:
                 tr1=updated_status[1],
                 well=well,
             )
+        )
+
+
+    def add_threshold(
+        self, kind, primary, oracle_prices, primary_status,
+        initial=None, initial_status=None,
+    ) -> None:
+        """Record a liquidate/deleverage solvency-threshold gate
+        (engine.py liquidate/deleverage asserts) as a ThresholdCheck
+        consuming freshly produced status records — the witness of
+        ThresholdRuleAir (threshold_rule_air.py)."""
+        from stark_perpetual_tpu.models.perpetual.status_air import (
+            B95,
+            snapshot_chain,
+        )
+        from stark_perpetual_tpu.models.perpetual.threshold_rule_air import (
+            ThresholdCheck,
+        )
+
+        rec1 = self._status(primary, oracle_prices)
+        _rows, leaf1 = snapshot_chain(rec1)
+        if kind == 2:
+            rec0 = self._status(initial, oracle_prices)
+            _r, leaf0 = snapshot_chain(rec0)
+            tvb0, tr0 = initial_status[0] + B95, initial_status[1]
+        else:
+            leaf0, tvb0, tr0 = 0, 0, 0
+        self.thresholds.append(
+            ThresholdCheck(
+                kind=kind,
+                leaf0=leaf0,
+                leaf1=leaf1,
+                epoch=rec1.epoch,
+                tvb0=tvb0,
+                tr0=tr0,
+                tvb1=primary_status[0] + B95,
+                tr1=primary_status[1],
+            )
+        )
+
+
+def record_threshold_check(
+    kind, primary, oracle_prices, primary_status, initial=None, initial_status=None
+) -> None:
+    """Engine hook: record a solvency-threshold gate when a status
+    recorder is active (no-op otherwise)."""
+    if _STATUS_RECORDER is not None:
+        _STATUS_RECORDER.add_threshold(
+            kind, primary, oracle_prices, primary_status, initial, initial_status
         )
 
 
@@ -225,7 +275,12 @@ def position_add_collateral(position: Position, delta: int, public_key: int):
         position, public_key=public_key, collateral_balance=position.collateral_balance + delta
     )
     code = check_valid_balance(new_position.collateral_balance)
-    if code == ErrorCode.SUCCESS and delta != 0:
+    if code == ErrorCode.SUCCESS:
+        # Zero deltas are recorded too: the order-link AIR produces one
+        # fee/collateral update claim per limit-order execution even when
+        # actual_fee (or the net collateral move) is 0, and the position
+        # bus must consume the same multiset (a 0-op 'bal' access is a
+        # trivially consistent cell write, prev == new).
         _record(
             "upd", "col", 0,
             position.collateral_balance, new_position.collateral_balance, delta,

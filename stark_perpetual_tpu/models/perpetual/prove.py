@@ -24,8 +24,13 @@ batch run:
   ``OrderLinkAir`` proof: order-id extraction, fairness inequalities,
   amount windows and the collateral/synthetic/fee delta production,
   consuming the fulfillment claims table and producing the trade subset
-  of the position update claims (``prove_batch_execution`` bundles all
-  five).
+  of the position update claims;
+- the solvency stack: ``PositionStatusAir`` (TV/TR totals bound to
+  pool-proven snapshots), ``TransitionRuleAir`` (transition rules),
+  ``HoldingsMergeAir`` (smaller-holdings subset) and
+  ``ThresholdRuleAir`` (liquidate/deleverage gates: liquidatability,
+  deleveragability, fair-price maximality) — ``prove_batch_execution``
+  bundles all of them.
 
 Public-input model: both business-logic AIRs now use the witnessed-
 schedule bus model — the schedules are private trace; the public surface
@@ -247,6 +252,18 @@ class BatchExecutionProofs:
     transition_checks_table: list = None  # [(leaf0, leaf1, epoch, w, mult)]
     transition_n_checks: int = 0
     transition_proof: Optional[object] = None
+    # Sub-multiset of status_claims consumed by the transition AIR (the
+    # rest is consumed by the threshold AIR; the verifier enforces
+    # transition_claims + threshold_claims == status_claims). None means
+    # "all of status_claims" (no-threshold batches).
+    transition_claims: list = None  # [(leaf, epoch, tvb, tr, mult)]
+    # Threshold-rule AIR (threshold_rule_air.py): liquidate/deleverage
+    # solvency gates (liquidatable, deleveragable, fair-deleverage) over
+    # proven status claims.
+    threshold_checks_table: list = None  # [(kind, leaf0, leaf1, epoch, mult)]
+    threshold_claims: list = None  # [(leaf, epoch, tvb, tr, mult)]
+    threshold_n_checks: int = 0
+    threshold_proof: Optional[object] = None
     # Holdings-merge AIR (holdings_merge_air.py): the smaller-in-synthetic-
     # holdings subset rule of the ratio-path checks, in-proof.
     holdings_pool_claims: list = None  # [(a, b, h, mult)]
@@ -417,14 +434,33 @@ def prove_batch_execution(
 
     rule_air = None
     checks_tab = []
+    consumed_tr = []
     if result.transition_check_log:
-        checks_tab, consumed = checks_public_surface(result.transition_check_log)
-        assert sorted(consumed) == sorted(st_claims), (
-            "transition checks consume a different status multiset than "
-            "the status AIR produces"
+        checks_tab, consumed_tr = checks_public_surface(result.transition_check_log)
+
+    # Threshold-rule AIR: liquidate/deleverage solvency gates. Together
+    # with the transition AIR it must consume EXACTLY the status AIR's
+    # produced claims multiset.
+    from stark_perpetual_tpu.models.perpetual.threshold_rule_air import (
+        ThresholdRuleAir,
+        thresholds_public_surface,
+    )
+
+    thr_air = None
+    thr_tab, thr_claims = [], []
+    if result.threshold_log:
+        thr_tab, thr_claims = thresholds_public_surface(result.threshold_log)
+        thr_air = ThresholdRuleAir(thr_tab, thr_claims, len(result.threshold_log))
+    if result.transition_check_log or result.threshold_log:
+        assert sorted(_multiset_add(consumed_tr, thr_claims)) == sorted(
+            st_claims
+        ), (
+            "transition+threshold checks consume a different status "
+            "multiset than the status AIR produces"
         )
+    if result.transition_check_log:
         rule_air = TransitionRuleAir(
-            checks_tab, st_claims, len(result.transition_check_log)
+            checks_tab, consumed_tr, len(result.transition_check_log)
         )
 
     # Holdings-merge AIR: the subset rule of the ratio-path checks.
@@ -461,6 +497,7 @@ def prove_batch_execution(
     status_proof = None
     rule_proof = None
     merge_proof = None
+    thr_proof = None
     pos_proof = None
     if prove:
         import os as _os
@@ -508,6 +545,11 @@ def prove_batch_execution(
                 ("holdings", merge_air, max(blowup, 4),
                  lambda: merge_air.trace(result.merge_pair_log))
             )
+        if thr_air is not None:
+            jobs.append(
+                ("threshold", thr_air, max(blowup, 4),
+                 lambda: thr_air.trace(result.threshold_log))
+            )
 
         def _run(job):
             name, air_obj, blow, trace_fn = job
@@ -546,6 +588,7 @@ def prove_batch_execution(
         status_proof = proofs_by_name.get("status")
         rule_proof = proofs_by_name.get("transition")
         merge_proof = proofs_by_name.get("holdings")
+        thr_proof = proofs_by_name.get("threshold")
 
     return (
         BatchExecutionProofs(
@@ -577,6 +620,11 @@ def prove_batch_execution(
             transition_checks_table=checks_tab,
             transition_n_checks=len(result.transition_check_log),
             transition_proof=rule_proof,
+            transition_claims=consumed_tr,
+            threshold_checks_table=thr_tab,
+            threshold_claims=thr_claims,
+            threshold_n_checks=len(result.threshold_log or []),
+            threshold_proof=thr_proof,
             holdings_pool_claims=mg_pool,
             holdings_checks_table=mg_checks,
             holdings_n_blocks=mg_blocks,
@@ -584,6 +632,16 @@ def prove_batch_execution(
         ),
         result,
     )
+
+
+def _multiset_add(a, b):
+    """Merge two claims-with-multiplicity tables into one sorted table."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for row in list(a) + list(b):
+        c[tuple(row[:-1])] += row[-1]
+    return [k + (mu,) for k, mu in sorted(c.items())]
 
 
 def _multiset_contained(sub, full) -> bool:
@@ -878,8 +936,14 @@ def verify_batch_execution(
     # claims are only committed on success.
     if proofs.transition_proof is not None and proofs.status_proof is None:
         return False
+    if proofs.threshold_proof is not None and proofs.status_proof is None:
+        return False
     if proofs.status_proof is not None and (
         proofs.transition_checks_table and proofs.transition_proof is None
+    ):
+        return False
+    if proofs.status_proof is not None and (
+        proofs.threshold_checks_table and proofs.threshold_proof is None
     ):
         return False
     proven_mode = any(
@@ -895,7 +959,25 @@ def verify_batch_execution(
             proofs.status_proof is None or proofs.transition_proof is None
         ):
             return False
+        if proofs.threshold_checks_table and proofs.threshold_proof is None:
+            return False
         if proofs.position_upd_claims and not proofs.transition_checks_table:
+            return False
+    # Consumption accounting: the transition and threshold AIRs together
+    # must consume EXACTLY the status AIR's produced claims multiset —
+    # a claim produced but never rule-checked (or consumed twice) is a
+    # malformed bundle.
+    tr_claims = (
+        proofs.transition_claims
+        if proofs.transition_claims is not None
+        else (proofs.status_claims or [])
+    )
+    if proofs.status_claims or proofs.transition_checks_table or (
+        proofs.threshold_checks_table
+    ):
+        if sorted(_multiset_add(tr_claims, proofs.threshold_claims or [])) != sorted(
+            _multiset_add(proofs.status_claims or [], [])
+        ):
             return False
 
     if context is not None:
@@ -1011,12 +1093,29 @@ def verify_batch_execution(
         try:
             air = TransitionRuleAir(
                 proofs.transition_checks_table,
-                proofs.status_claims,
+                tr_claims,
                 proofs.transition_n_checks,
             )
         except AssertionError:
             return False
         if not verify_stark(air, proofs.transition_proof):
+            return False
+    # Threshold rules (liquidatable / deleveragable / fair-deleverage)
+    # over their share of the proven status claims.
+    if proofs.threshold_proof is not None:
+        from stark_perpetual_tpu.models.perpetual.threshold_rule_air import (
+            ThresholdRuleAir,
+        )
+
+        try:
+            air = ThresholdRuleAir(
+                proofs.threshold_checks_table,
+                proofs.threshold_claims,
+                proofs.threshold_n_checks,
+            )
+        except AssertionError:
+            return False
+        if not verify_stark(air, proofs.threshold_proof):
             return False
     # Holdings merge: the ratio-path checks' subset rule. The merge AIR's
     # checks table must be exactly the w=0 subset of the transition checks
