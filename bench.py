@@ -320,7 +320,11 @@ def main() -> int:
         ("ntt24", lambda: bench_ntt(24, TARGET_NTT24_WALL), 190.0),  # north star
         ("ntt20", lambda: bench_ntt(20, TARGET_NTT20_WALL), 60.0),
         ("stark_prove", bench_stark_prove, 420.0),
-        ("batch_prove", bench_batch_execution_prove, 500.0),
+        # First-in-process batch prove is executable-load-bound through
+        # the tunnel (~1200 s with the thread-parallel bundle) — it never
+        # fits the budget after the other metrics, so its measured walls
+        # live in BASELINE.md (round 5: 17.1 s steady, 1213 s first).
+        ("batch_prove", bench_batch_execution_prove, 1250.0),
         ("lde20", bench_lde, 75.0),
     ]
     if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
