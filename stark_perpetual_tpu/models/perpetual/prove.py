@@ -188,6 +188,142 @@ def fulfillment_public_surface(result):
     return journal, claims
 
 
+def aux_public_surface(program_input):
+    """Transfer/withdrawal fulfillment claims as a PUBLIC witness table.
+
+    Transfers, conditional transfers and withdrawals consume
+    order-fulfillment accesses (transactions/transfer.cairo:110-123,
+    withdrawal.cairo:104-113) but are not limit-order executions, so the
+    order-link AIR never consumes their claims. Their signed field tuples
+    are published instead; the verifier recomputes every message chain
+    host-side (``aux_claims_from_witnesses``), which pins each claim's
+    KIND by Pedersen collision resistance: an order message (order_type 3
+    in its packed word, limit_order.cairo:44-51) cannot equal a recomputed
+    transfer/withdrawal message (order_type 4-7), so no fill can hide in
+    this table to escape the fairness proof — the verifier demands
+    ``fulfillment_claims == order_link_fc_claims ⊎ aux claims`` exactly.
+
+    Rows: ("xfer", asset_id, receiver_pub, condition, sender_pid,
+           receiver_pid, nonce, amount, expiration, sender_pub) and
+          ("wd", asset_id_collateral, position_id, nonce, amount,
+           expiration, owner_key, public_key).
+    """
+    from stark_perpetual_tpu.models.perpetual.transactions import (
+        ConditionalTransfer,
+        Transfer,
+        Withdrawal,
+    )
+
+    acoll = program_input.general_config.collateral_asset_info.asset_id
+    rows = []
+    for tx in program_input.txs:
+        cond = 0
+        t = tx
+        if isinstance(tx, ConditionalTransfer):
+            t, cond = tx.transfer, tx.condition
+        if isinstance(t, Transfer):
+            rows.append(
+                (
+                    "xfer", t.asset_id, t.receiver_public_key, cond,
+                    t.sender_position_id, t.receiver_position_id,
+                    t.base.nonce, t.amount, t.base.expiration_timestamp,
+                    t.base.public_key,
+                )
+            )
+        elif isinstance(tx, Withdrawal):
+            rows.append(
+                (
+                    "wd", acoll, tx.position_id, tx.base.nonce, tx.amount,
+                    tx.base.expiration_timestamp, tx.owner_key,
+                    tx.base.public_key,
+                )
+            )
+    return rows
+
+
+def aux_claims_from_witnesses(rows):
+    """Recompute the aux witnesses' fulfillment claims + required position
+    updates. Returns (claims, upd_rows), both [(..., mult)] tables.
+    Raises ValueError on malformed rows / out-of-range fields (the
+    verifier treats that as verification failure)."""
+    from collections import Counter
+
+    from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash
+    from stark_perpetual_tpu.models.perpetual.objects import (
+        AMOUNT_UPPER_BOUND,
+        EXPIRATION_TIMESTAMP_UPPER_BOUND,
+        NONCE_UPPER_BOUND,
+        POSITION_ID_UPPER_BOUND,
+    )
+    from stark_perpetual_tpu.models.perpetual.transactions import (
+        OrderBase,
+        Transfer,
+        Withdrawal,
+        extract_order_id,
+        transfer_message,
+        withdrawal_message,
+    )
+    from stark_perpetual_tpu.params import FIELD_PRIME as P
+
+    def rng(v, bound, what):
+        if not (0 <= v < bound):
+            raise ValueError(f"aux witness {what} out of range: {v}")
+
+    claims: Counter = Counter()
+    upd: Counter = Counter()
+    for row in rows:
+        kind = row[0]
+        if kind == "xfer":
+            _, aid, rpub, cond, spid, rpid, nonce, amount, exp, spub = row
+            for v, b, w in (
+                (aid, P, "asset"), (rpub, P, "receiver key"),
+                (cond, P, "condition"), (spid, POSITION_ID_UPPER_BOUND, "pid"),
+                (rpid, POSITION_ID_UPPER_BOUND, "pid"),
+                (nonce, NONCE_UPPER_BOUND, "nonce"),
+                (amount, AMOUNT_UPPER_BOUND, "amount"),
+                (exp, EXPIRATION_TIMESTAMP_UPPER_BOUND, "expiration"),
+                (spub, P, "sender key"),
+            ):
+                rng(v, b, w)
+            t = Transfer(
+                base=OrderBase(
+                    nonce=nonce, public_key=spub, expiration_timestamp=exp,
+                    signature_r=0, signature_s=0,
+                ),
+                sender_position_id=spid, receiver_public_key=rpub,
+                receiver_position_id=rpid, amount=amount, asset_id=aid,
+            )
+            msg = transfer_message(t, cond, fast_pedersen_hash)
+            upd[(spid, 0, 0, 0, (-amount) % P)] += 1
+            upd[(rpid, 0, 0, 0, amount % P)] += 1
+        elif kind == "wd":
+            _, acoll, pid, nonce, amount, exp, owner, pub = row
+            for v, b, w in (
+                (acoll, P, "asset"), (pid, POSITION_ID_UPPER_BOUND, "pid"),
+                (nonce, NONCE_UPPER_BOUND, "nonce"),
+                (amount, AMOUNT_UPPER_BOUND, "amount"),
+                (exp, EXPIRATION_TIMESTAMP_UPPER_BOUND, "expiration"),
+                (owner, P, "owner key"), (pub, P, "public key"),
+            ):
+                rng(v, b, w)
+            wd = Withdrawal(
+                base=OrderBase(
+                    nonce=nonce, public_key=pub, expiration_timestamp=exp,
+                    signature_r=0, signature_s=0,
+                ),
+                position_id=pid, amount=amount, owner_key=owner,
+            )
+            msg = withdrawal_message(wd, acoll, fast_pedersen_hash)
+            upd[(pid, 0, 0, 0, (-amount) % P)] += 1
+        else:
+            raise ValueError(f"unknown aux witness kind {kind!r}")
+        claims[(msg, extract_order_id(msg), amount)] += 1
+    return (
+        [k + (mu,) for k, mu in sorted(claims.items())],
+        [k + (mu,) for k, mu in sorted(upd.items())],
+    )
+
+
 @dataclass
 class BatchExecutionProofs:
     """Builtin pools + the business-logic proofs of one batch.
@@ -236,6 +372,12 @@ class BatchExecutionProofs:
     order_link_fee_position_id: int = 0
     order_link_collateral_asset_id: int = 0
     order_link_proof: Optional[object] = None
+    # Aux fulfillment witnesses (transfers / conditional transfers /
+    # withdrawals): public field tuples whose message chains the verifier
+    # recomputes (aux_claims_from_witnesses) — fulfillment_claims must
+    # equal order_link_fc_claims ⊎ the recomputed aux claims, and the aux
+    # position deltas must be covered by the position AIR's update table.
+    aux_witnesses: list = None
     # Position-status AIR (status_air.py): TV/TR solvency totals of every
     # transition check, with snapshots bound to the pedersen pool via
     # their leaf hash chains and prices/risks bound to public tables.
@@ -377,12 +519,22 @@ def prove_batch_execution(
             link_fc, link_upd, link_pool, fee_pid, acoll_id,
             len(result.order_exec_log),
         )
-        assert sorted(link_fc) == sorted(ful_claims), (
-            "order-link consumed claims != fulfillment claims"
-        )
         assert _multiset_contained(link_upd, pos_upd), (
             "order-link produced updates not in the position claims"
         )
+    # Every fulfillment claim is either a limit-order fill (consumed by
+    # the order-link AIR) or a transfer/withdrawal access whose field
+    # tuple goes public (aux_public_surface) for verify-time chain
+    # recomputation — exact multiset partition, no third bucket.
+    aux_wit = aux_public_surface(program_input)
+    aux_claims, aux_upd = aux_claims_from_witnesses(aux_wit)
+    assert sorted(_multiset_add(link_fc, aux_claims)) == sorted(
+        _multiset_add(ful_claims, [])
+    ), "order-link + aux claims != fulfillment claims"
+    assert _multiset_contained(aux_upd, pos_upd), (
+        "aux transfer/withdrawal deltas not in the position claims"
+    )
+    if result.order_exec_log:
         pool_set = set(
             zip(builtin_proofs.pedersen_pairs, builtin_proofs.pedersen_outputs)
         )
@@ -610,6 +762,7 @@ def prove_batch_execution(
             order_link_fee_position_id=fee_pid,
             order_link_collateral_asset_id=acoll_id,
             order_link_proof=link_proof,
+            aux_witnesses=aux_wit,
             status_pool_claims=st_pool,
             status_price_claims=st_price,
             status_risk_claims=st_risk,
@@ -963,6 +1116,20 @@ def verify_batch_execution(
             return False
         if proofs.position_upd_claims and not proofs.transition_checks_table:
             return False
+        # Dropped-proof completeness for the bus/link surfaces too: a
+        # bundle that proves SOME business AIR while a non-empty surface
+        # carries proof=None would silently downgrade that surface to a
+        # host-trusted claims table.
+        if (proofs.fulfillment_claims or proofs.fulfillment_journal) and (
+            proofs.fulfillment_proof is None
+        ):
+            return False
+        if (proofs.position_upd_claims or proofs.position_journal) and (
+            proofs.position_proof is None
+        ):
+            return False
+        if proofs.order_link_n_execs and proofs.order_link_proof is None:
+            return False
     # Consumption accounting: the transition and threshold AIRs together
     # must consume EXACTLY the status AIR's produced claims multiset —
     # a claim produced but never rule-checked (or consumed twice) is a
@@ -1016,21 +1183,33 @@ def verify_batch_execution(
             return False  # malformed public surface
         if not verify_stark(air, proofs.position_proof):
             return False
-    # Order-link: the consumed claims must BE the fulfillment claims table
-    # (every fill is a proven-fair limit-order execution), and the produced
-    # updates must be covered by the position AIR's update table (trade
-    # deltas are not free public inputs).
+    # Claims partition: every fulfillment claim is either consumed by the
+    # order-link AIR (a proven-fair fill) or recomputed from a public
+    # transfer/withdrawal witness — Pedersen collision resistance pins
+    # which bucket a message CAN be in (order_type 3 vs 4-7 in the packed
+    # words), so no fill escapes the fairness proof via the aux table.
+    try:
+        aux_claims, aux_upd = aux_claims_from_witnesses(
+            proofs.aux_witnesses or []
+        )
+    except ValueError:
+        return False
+    if sorted(
+        _multiset_add(proofs.order_link_fc_claims or [], aux_claims)
+    ) != sorted(_multiset_add(proofs.fulfillment_claims, [])):
+        return False
+    # Aux position deltas (sender/receiver/withdrawn collateral) must be
+    # covered, together with the trade deltas, by the position AIR's
+    # public update table.
+    if not _multiset_contained(
+        _multiset_add(proofs.order_link_upd_claims or [], aux_upd),
+        proofs.position_upd_claims,
+    ):
+        return False
     if proofs.order_link_n_execs:
         from stark_perpetual_tpu.models.perpetual.order_link_air import (
             OrderLinkAir,
         )
-
-        if sorted(proofs.order_link_fc_claims) != sorted(proofs.fulfillment_claims):
-            return False
-        if not _multiset_contained(
-            proofs.order_link_upd_claims, proofs.position_upd_claims
-        ):
-            return False
         # Every referenced hash-chain row must be a proven pedersen
         # obligation of THIS batch (message binding rides the pool proof).
         pool_set = set(
@@ -1053,8 +1232,8 @@ def verify_batch_execution(
                 return False
             if not verify_stark(air, proofs.order_link_proof):
                 return False
-    elif proofs.fulfillment_claims:
-        return False  # fills without any proven limit-order execution
+    # (a claims table with neither link executions nor aux witnesses is
+    # already rejected by the partition equality above)
     # Position-status: every snapshot chain row the AIR walked must be a
     # proven pedersen obligation of THIS batch; the claims then carry
     # proven TV/TR totals keyed by leaf hash for the rule consumers.

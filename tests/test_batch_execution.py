@@ -142,6 +142,18 @@ def test_solvency_bundle_guards(proven):
             holdings_checks_table=[],
         )
     )
+    # Dropped bus/link proofs downgrade their surfaces to host-trusted
+    # tables — the proven-mode guard must reject each one.
+    assert proofs.fulfillment_proof is not None
+    assert proofs.position_proof is not None
+    assert proofs.order_link_proof is not None
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, fulfillment_proof=None)
+    )
+    assert not verify_batch_execution(dc_replace_proofs(proofs, position_proof=None))
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, order_link_proof=None)
+    )
 
 
 def test_transition_rule_air_range_asserts():
@@ -318,3 +330,144 @@ def test_funding_public_surface():
         ],
     )
     assert not P._verify_funding_tables(consistent, bad_ctx)
+
+
+@pytest.fixture(scope="module")
+def mixed_collect():
+    """A batch mixing limit-order fills with transfer-class fulfillment
+    accesses (transfer, conditional transfer, withdrawal), collect-only:
+    exercises the aux-witness claims partition end to end without any
+    STARK proving."""
+    from dataclasses import replace
+
+    import test_perpetual_engine as E
+    from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash, sign
+    from stark_perpetual_tpu.models.perpetual import engine as PE
+    from stark_perpetual_tpu.models.perpetual.prove import prove_batch_execution
+    from stark_perpetual_tpu.models.perpetual.transactions import (
+        ConditionalTransfer,
+        Deposit,
+        OrderBase,
+        Trade,
+        Transfer,
+        Withdrawal,
+        transfer_message,
+        withdrawal_message,
+    )
+
+    w = E.build_world()
+    buy = E.make_order("alice", 1, 1, amt_syn=10, amt_col=500, fee=50, nonce=95)
+    sell = E.make_order("bob", 2, 0, amt_syn=10, amt_col=400, fee=40, nonce=96)
+
+    base = OrderBase(
+        nonce=7, public_key=E.PUB["alice"], expiration_timestamp=2_000_000,
+        signature_r=0, signature_s=0,
+    )
+    tr = Transfer(
+        base=base, sender_position_id=1, receiver_public_key=E.PUB["bob"],
+        receiver_position_id=2, amount=100, asset_id=E.COLLATERAL,
+    )
+    r, s = sign(transfer_message(tr, 0, fast_pedersen_hash), E.KEYS["alice"])
+    tr = replace(tr, base=replace(base, signature_r=r, signature_s=s))
+
+    cbase = OrderBase(
+        nonce=9, public_key=E.PUB["bob"], expiration_timestamp=2_000_000,
+        signature_r=0, signature_s=0,
+    )
+    ct_inner = Transfer(
+        base=cbase, sender_position_id=2, receiver_public_key=E.PUB["alice"],
+        receiver_position_id=1, amount=20, asset_id=E.COLLATERAL,
+    )
+    r, s = sign(transfer_message(ct_inner, 0xBEEF, fast_pedersen_hash), E.KEYS["bob"])
+    ct = ConditionalTransfer(
+        transfer=replace(ct_inner, base=replace(cbase, signature_r=r, signature_s=s)),
+        condition=0xBEEF,
+    )
+
+    wdb = OrderBase(
+        nonce=8, public_key=E.PUB["bob"], expiration_timestamp=2_000_000,
+        signature_r=0, signature_s=0,
+    )
+    wd = Withdrawal(base=wdb, position_id=2, amount=50, owner_key=E.PUB["bob"])
+    r, s = sign(withdrawal_message(wd, E.COLLATERAL, fast_pedersen_hash), E.KEYS["bob"])
+    wd = replace(wd, base=replace(wdb, signature_r=r, signature_s=s))
+
+    pi = PE.ProgramInput(
+        general_config=w["config"],
+        prev_shared_state=w["prev_shared"],
+        minimum_expiration_timestamp=1_000,
+        txs=(
+            Deposit(E.PUB["alice"], 1, 2500),
+            Trade(buy, sell, 450, 10, 5, 4),
+            tr,
+            ct,
+            wd,
+        ),
+        signed_min_oracle_prices=w["min_prices"],
+        signed_max_oracle_prices=w["max_prices"],
+        end_system_time=w["t0"],
+        positions=dict(w["positions"]),
+        orders={},
+    )
+    return prove_batch_execution(pi, blowup=4, n_queries=2, prove=False)
+
+
+def test_mixed_batch_aux_claims_partition(mixed_collect):
+    """Transfers/withdrawals are provable alongside fills: the public aux
+    witnesses must cover exactly the non-fill fulfillment claims, and the
+    verifier recomputes their message chains from the published fields."""
+    from stark_perpetual_tpu.models.perpetual.prove import (
+        aux_claims_from_witnesses,
+        verify_batch_execution,
+    )
+
+    proofs, _result = mixed_collect
+    assert proofs.order_link_n_execs == 2  # buy + sell fills
+    kinds = sorted(rw[0] for rw in proofs.aux_witnesses)
+    assert kinds == ["wd", "xfer", "xfer"]
+    # 2 fills + 3 aux accesses = 5 distinct claims.
+    assert len(proofs.fulfillment_claims) == 5
+    aux_claims, aux_upd = aux_claims_from_witnesses(proofs.aux_witnesses)
+    assert sum(mu for *_k, mu in aux_claims) == 3
+    assert sum(mu for *_k, mu in aux_upd) == 5  # 2+2 transfer legs + 1 wd
+    assert verify_batch_execution(proofs)
+
+
+def test_mixed_batch_aux_tampers(mixed_collect):
+    """No fill can hide in the aux table, and no aux claim can float free:
+    every partition violation is rejected at verify time."""
+    from stark_perpetual_tpu.models.perpetual.prove import verify_batch_execution
+
+    proofs, _result = mixed_collect
+
+    # Dropping a witness leaves its claim unconsumed.
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, aux_witnesses=proofs.aux_witnesses[:-1])
+    )
+    # A tampered amount recomputes to a different message hash.
+    row = list(proofs.aux_witnesses[0])
+    row[-3] = row[-3] + 1  # amount field of either row kind
+    assert not verify_batch_execution(
+        dc_replace_proofs(
+            proofs, aux_witnesses=[tuple(row)] + proofs.aux_witnesses[1:]
+        )
+    )
+    # A fill moved out of the link table cannot be replaced by any aux
+    # witness: its message is an order message (order_type 3), which no
+    # recomputed transfer/withdrawal chain can equal.
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, order_link_fc_claims=proofs.order_link_fc_claims[1:])
+    )
+    # Out-of-range witness fields are rejected before hashing.
+    bad = list(proofs.aux_witnesses[0])
+    bad[-3] = 1 << 64
+    assert not verify_batch_execution(
+        dc_replace_proofs(proofs, aux_witnesses=[tuple(bad)] + proofs.aux_witnesses[1:])
+    )
+    # Unknown witness kinds are malformed bundles.
+    assert not verify_batch_execution(
+        dc_replace_proofs(
+            proofs,
+            aux_witnesses=[("mystery", 1, 2)] + proofs.aux_witnesses[1:],
+        )
+    )
