@@ -113,6 +113,15 @@ class DexExecutionProofs:
     and legacy 31-bit formats — as a DexOrderLinkAir proof (ratio/fee
     fairness, windows, vault-diff production, message-field binding via
     pedersen-pool lookups).
+
+    Claims partition (mirrors the perpetual bundle's aux witnesses):
+    every SIGNED order claim (msg != 0) is either consumed by the
+    settlement-link AIR (a proven-fair L2 fill) or recomputed from a
+    public transfer witness (``dex_aux_claims_from_witnesses``) — exact
+    multiset equality, so no fill can hide among the transfers to escape
+    the fairness proof. The msg == 0 bucket (L1 orders, unique-minting
+    marks) carries no signature by construction and remains justified by
+    the on-chain order-message outputs (main.cairo's output segment).
     """
 
     builtins: BatchBuiltinProofs
@@ -137,6 +146,102 @@ class DexExecutionProofs:
     link_pool_claims: list = None  # [(a, b, h, mult)]
     link_n_execs: int = 0
     link_proof: Optional[object] = None
+    # Public transfer witnesses (dex_aux_public_surface rows): the
+    # verifier recomputes their message chains and demands the signed
+    # claims partition link ⊎ aux == {msg != 0} exactly.
+    aux_witnesses: list = None
+
+
+def dex_aux_public_surface(program_input):
+    """DEX transfer fulfillment claims as a PUBLIC witness table.
+
+    Same technique as the perpetual bundle's ``aux_public_surface``
+    (models/perpetual/prove.py): transfers consume order-fulfillment
+    accesses (execute_transfer.cairo) without being settlements, so the
+    settlement-link AIR never consumes their claims. Publishing the signed
+    field tuples lets the verifier recompute every transfer message chain
+    host-side; Pedersen collision resistance then separates transfer
+    claims from L2 fill claims, and the signed-claims partition
+    ``{msg != 0} == link claims ⊎ transfer aux claims`` becomes exact.
+    (The msg == 0 bucket — L1 orders and unique-minting marks — carries
+    no signature by construction and stays justified by the on-chain
+    order-message outputs.)
+
+    Rows: ("xfer", amount, nonce, sender_vault, token, receiver_vault,
+           receiver_pub, expiration, condition, fee_token, fee_src_vault,
+           fee_limit, has_fee, sender_pub).
+    """
+    from stark_perpetual_tpu.models.dex.engine import Transfer
+
+    rows = []
+    for tx in program_input.txs:
+        if not isinstance(tx, Transfer):
+            continue
+        fi = tx.fee_info_user
+        rows.append(
+            (
+                "xfer", tx.amount, tx.base.nonce, tx.sender_vault_id,
+                tx.token, tx.receiver_vault_id, tx.receiver_public_key,
+                tx.base.expiration_timestamp, tx.condition,
+                fi.token_id if fi else 0, fi.source_vault_id if fi else 0,
+                fi.fee_limit if fi else 0, 1 if fi else 0,
+                tx.base.public_key,
+            )
+        )
+    return rows
+
+
+def dex_aux_claims_from_witnesses(rows):
+    """Recompute the DEX aux witnesses' claims + required vault diffs.
+
+    Returns (claims, diff_rows): claims [(msg, msg, amount, mult)] in the
+    order-claims encoding (a transfer's order id IS its message hash);
+    diff_rows [(key, token, vault, delta, mult)] for the sender/receiver
+    amount legs (fee legs are runtime-valued and stay link/vault-AIR
+    territory). Raises ValueError on malformed rows (the verifier treats
+    that as verification failure)."""
+    from collections import Counter
+
+    from stark_perpetual_tpu.models.dex.engine import (
+        FeeInfoUser,
+        OrderBase,
+        Transfer,
+        transfer_message,
+    )
+    from stark_perpetual_tpu.params import FIELD_PRIME as P
+
+    claims: Counter = Counter()
+    diffs: Counter = Counter()
+    for row in rows:
+        if not (isinstance(row, tuple) and len(row) == 14 and row[0] == "xfer"):
+            raise ValueError(f"malformed dex aux witness: {row!r}")
+        (_k, amount, nonce, svault, token, rvault, rpub, exp, cond,
+         ftok, fsrc, flim, has_fee, spub) = row
+        fi = (
+            FeeInfoUser(token_id=ftok, fee_limit=flim, source_vault_id=fsrc)
+            if has_fee
+            else None
+        )
+        t = Transfer(
+            base=OrderBase(
+                nonce=nonce, public_key=spub, expiration_timestamp=exp,
+                signature_r=0, signature_s=0,
+            ),
+            sender_vault_id=svault, receiver_public_key=rpub,
+            receiver_vault_id=rvault, amount=amount, token=token,
+            condition=cond, fee_info_user=fi,
+        )
+        try:
+            msg = transfer_message(t)
+        except AssertionError as e:
+            raise ValueError(f"dex aux witness out of range: {e}") from e
+        claims[(msg, msg, amount)] += 1
+        diffs[(spub, token, svault, (-amount) % P)] += 1
+        diffs[(rpub, token, rvault, amount % P)] += 1
+    return (
+        [k + (mu,) for k, mu in sorted(claims.items())],
+        [k + (mu,) for k, mu in sorted(diffs.items())],
+    )
 
 
 def _order_air_feed(result):
@@ -258,6 +363,18 @@ def prove_dex_execution(
                 "link hash-chain row not in the pedersen pool"
             )
 
+    # Signed-claims partition: every msg != 0 claim is a link-consumed L2
+    # fill or a recomputed transfer witness — exact, no third bucket.
+    aux_wit = dex_aux_public_surface(program_input)
+    aux_claims, aux_diffs = dex_aux_claims_from_witnesses(aux_wit)
+    signed_claims = [row for row in ord_claims if row[0] != 0]
+    assert sorted(_multiset_add_rows(link_oc, aux_claims)) == sorted(
+        _multiset_add_rows(signed_claims, [])
+    ), "link + transfer-aux claims != signed order claims"
+    assert _diffs_covered(aux_diffs, result.vault_access_log), (
+        "transfer-aux vault diffs not in the vault access log"
+    )
+
     ord_proof = vlt_proof = link_proof = None
     if prove:
         import os as _os
@@ -323,6 +440,7 @@ def prove_dex_execution(
             link_pool_claims=link_pool,
             link_n_execs=len(result.order_exec_log),
             link_proof=link_proof,
+            aux_witnesses=aux_wit,
         ),
         result,
     )
@@ -338,6 +456,16 @@ def _multiset_contained_rows(sub, full) -> bool:
     for row in sub:
         have[tuple(row[:-1])] -= row[-1]
     return all(v >= 0 for v in have.values())
+
+
+def _multiset_add_rows(a, b):
+    """Merge two claims-with-multiplicity tables into one sorted table."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for row in list(a) + list(b):
+        c[tuple(row[:-1])] += row[-1]
+    return [k + (mu,) for k, mu in sorted(c.items())]
 
 
 def _diffs_covered(diff_claims, vault_access_log) -> bool:
@@ -383,6 +511,24 @@ def verify_dex_execution(proofs: DexExecutionProofs) -> bool:
 
     if not verify_batch_builtins(proofs.builtins):
         return False
+    # Proven-mode completeness (mirrors the perpetual verifier's solvency
+    # guards): once ANY business proof is present, every non-empty public
+    # surface must carry its proof — a bundle that proves the order bus but
+    # silently drops the vault proof (or the settlement-link proof) would
+    # otherwise pass with host-trusted vault finals / unfair settlements.
+    proven_mode = any(
+        p is not None
+        for p in (proofs.order_proof, proofs.vault_proof, proofs.link_proof)
+    )
+    if proven_mode:
+        if (proofs.order_claims or proofs.order_journal) and (
+            proofs.order_proof is None
+        ):
+            return False
+        if proofs.vault_accesses and proofs.vault_proof is None:
+            return False
+        if proofs.link_n_execs and proofs.link_proof is None:
+            return False
     claimed_hashes = {msg for msg, _r, _s, _pt in proofs.builtins.ecdsa_items}
     for msg, _oid, ful, mu in proofs.order_claims:
         if msg != 0 and msg not in claimed_hashes:
@@ -409,13 +555,30 @@ def verify_dex_execution(proofs: DexExecutionProofs) -> bool:
         )
         if not verify_stark(air, proofs.vault_proof):
             return False
+    # Signed-claims partition (see DexExecutionProofs): recompute the
+    # transfer witnesses' message chains and demand that the link AIR's
+    # consumed claims plus the transfer claims are EXACTLY the msg != 0
+    # order claims — no L2 fill can escape the fairness proof by posing
+    # as a transfer (Pedersen collision resistance) or by hiding in the
+    # unsigned bucket (its claim carries a nonzero message hash).
+    try:
+        aux_claims, aux_diffs = dex_aux_claims_from_witnesses(
+            proofs.aux_witnesses or []
+        )
+    except ValueError:
+        return False
+    signed_claims = [row for row in proofs.order_claims if row[0] != 0]
+    if sorted(
+        _multiset_add_rows(proofs.link_oc_claims or [], aux_claims)
+    ) != sorted(_multiset_add_rows(signed_claims, [])):
+        return False
+    if not _diffs_covered_typed(aux_diffs, proofs.vault_accesses):
+        return False
     if proofs.link_n_execs:
         from stark_perpetual_tpu.models.dex.settlement_link_air import (
             DexOrderLinkAir,
         )
 
-        if not _multiset_contained_rows(proofs.link_oc_claims, proofs.order_claims):
-            return False
         if not _diffs_covered_typed(proofs.link_diff_claims, proofs.vault_accesses):
             return False
         pool_set = set(

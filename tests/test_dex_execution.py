@@ -172,6 +172,57 @@ def test_tampered_dex_schedules_fail(proven):
     assert not verify_dex_execution(dc(proofs, link_pool_claims=bad_pool))
 
 
+def test_dropped_proof_bundle_guards(proven):
+    """Proven-mode completeness: once any business proof is present, every
+    non-empty public surface must carry its own proof (the perpetual
+    verifier's solvency-bundle guard, mirrored for the DEX bundle)."""
+    from dataclasses import replace as dc
+
+    from stark_perpetual_tpu.models.dex.prove import verify_dex_execution
+
+    proofs, _result = proven
+    assert proofs.order_claims and proofs.vault_accesses and proofs.link_n_execs
+    # Drop exactly one proof at a time: vault finals / order journal /
+    # settlement fairness would become host-trusted claims.
+    assert not verify_dex_execution(dc(proofs, vault_proof=None))
+    assert not verify_dex_execution(dc(proofs, order_proof=None))
+    assert not verify_dex_execution(dc(proofs, link_proof=None))
+
+
+def test_dex_aux_claims_partition(proven):
+    """Signed-claims partition: the transfer's claim is covered by its
+    public witness, and no partition violation verifies — a dropped
+    witness, a tampered amount (different recomputed hash), or a fill
+    dropped from the link table all fail."""
+    from dataclasses import replace as dc
+
+    from stark_perpetual_tpu.models.dex.prove import (
+        dex_aux_claims_from_witnesses,
+        verify_dex_execution,
+    )
+
+    proofs, _result = proven
+    assert len(proofs.aux_witnesses) == 1  # the conditional transfer
+    aux_claims, aux_diffs = dex_aux_claims_from_witnesses(proofs.aux_witnesses)
+    assert sum(mu for *_k, mu in aux_claims) == 1
+    assert sum(mu for *_k, mu in aux_diffs) == 2  # sender + receiver legs
+    # The recomputed message is the transfer's order id in the claims.
+    (msg, oid, amount, _mu) = aux_claims[0]
+    assert msg == oid and amount == 10
+    assert any(c[0] == msg for c in proofs.order_claims)
+
+    assert not verify_dex_execution(dc(proofs, aux_witnesses=[]))
+    row = list(proofs.aux_witnesses[0])
+    row[1] = row[1] + 1  # amount
+    assert not verify_dex_execution(dc(proofs, aux_witnesses=[tuple(row)]))
+    assert not verify_dex_execution(
+        dc(proofs, link_oc_claims=proofs.link_oc_claims[1:])
+    )
+    assert not verify_dex_execution(
+        dc(proofs, aux_witnesses=[("mystery",)])
+    )
+
+
 def test_vault_air_guards():
     """The vault AIR's replay rejects schedules an honest engine never logs."""
     from stark_perpetual_tpu.models.dex.vault_air import DexVaultCellAir, VaultAccess
