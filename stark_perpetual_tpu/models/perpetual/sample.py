@@ -38,8 +38,10 @@ from stark_perpetual_tpu.models.perpetual.transactions import (
     LimitOrder,
     OrderBase,
     Trade,
+    Transfer,
     limit_order_message,
     oracle_price_message,
+    transfer_message,
 )
 
 BTC = 0x4254432D3130
@@ -110,13 +112,17 @@ def _order(owner, position_id, is_buying, amt_syn, amt_col, fee, nonce):
     return replace(order, base=replace(base, signature_r=r, signature_s=s))
 
 
-def sample_batch_input(n_trades: int = 1) -> "E.ProgramInput":
+def sample_batch_input(
+    n_trades: int = 1, n_transfers: int = 0
+) -> "E.ProgramInput":
     """A provable mixed batch: deposit + n_trades partial fills + funding.
 
     Each trade partially fills a distinct buy/sell order pair between the
     two positions, so the batch exercises fulfillment accounting, position
     deltas, fee collection, and (via the closing funding tick + deposit)
-    the funding application path.
+    the funding application path. ``n_transfers`` appends signed
+    collateral transfers alice -> bob, exercising the aux-witness claims
+    partition (prove.aux_public_surface) alongside the fills.
     """
     config = _config()
     t0 = 1_000_000
@@ -145,6 +151,18 @@ def sample_batch_input(n_trades: int = 1) -> "E.ProgramInput":
         buy = _order("alice", 1, 1, amt_syn=10, amt_col=500, fee=50, nonce=200 + 2 * k)
         sell = _order("bob", 2, 0, amt_syn=10, amt_col=400, fee=40, nonce=201 + 2 * k)
         txs.append(Trade(buy, sell, 225, 5, 5, 4))  # half fill each order
+    for k in range(n_transfers):
+        base = OrderBase(
+            nonce=500 + k, public_key=_PUB["alice"],
+            expiration_timestamp=2_000_000, signature_r=0, signature_s=0,
+        )
+        t = Transfer(
+            base=base, sender_position_id=1, receiver_public_key=_PUB["bob"],
+            receiver_position_id=2, amount=100 + k,
+            asset_id=config.collateral_asset_info.asset_id,
+        )
+        r, s = sign(transfer_message(t, 0, fast_pedersen_hash), _KEYS["alice"])
+        txs.append(replace(t, base=replace(base, signature_r=r, signature_s=s)))
     txs.append(
         FundingTick(
             FundingIndicesInfo(
