@@ -27,6 +27,8 @@ from stark_perpetual_tpu.ops.pedersen import pedersen_call_log
 __all__ = [
     "BatchBuiltinProofs",
     "DexExecutionProofs",
+    "dex_aux_claims_from_witnesses",
+    "dex_aux_public_surface",
     "prove_dex_builtins",
     "prove_dex_commitments",
     "prove_dex_execution",

@@ -59,6 +59,8 @@ from stark_perpetual_tpu.ops.pedersen import pedersen_call_log
 __all__ = [
     "BatchBuiltinProofs",
     "BatchPublicContext",
+    "aux_claims_from_witnesses",
+    "aux_public_surface",
     "batch_public_context",
     "prove_batch_builtins",
     "prove_batch_commitments",

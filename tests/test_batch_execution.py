@@ -471,3 +471,97 @@ def test_mixed_batch_aux_tampers(mixed_collect):
             aux_witnesses=[("mystery", 1, 2)] + proofs.aux_witnesses[1:],
         )
     )
+
+
+def test_everything_batch_collect():
+    """Every executable transaction type in ONE batch prove-collects and
+    verifies from public inputs: deposit, trade, transfer, withdrawal,
+    liquidate, deleverage, forced trade, forced withdrawal. Regression for
+    the aux-claims partition (transfers/withdrawals used to crash the
+    prove-side link-equality assert) and a completeness smoke for the
+    whole solvency surface (threshold + transition + holdings tables)."""
+    from dataclasses import replace
+
+    import test_perpetual_executors as X
+    from test_perpetual_engine import BTC, COLLATERAL, KEYS, PUB, make_order
+
+    from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash, sign
+    from stark_perpetual_tpu.models.perpetual import engine as PE
+    from stark_perpetual_tpu.models.perpetual.prove import (
+        batch_public_context,
+        prove_batch_execution,
+        verify_batch_execution,
+    )
+    from stark_perpetual_tpu.models.perpetual.transactions import (
+        Deleverage,
+        Deposit,
+        ForcedTrade,
+        ForcedWithdrawal,
+        Liquidate,
+        OrderBase,
+        Trade,
+        Transfer,
+        Withdrawal,
+        transfer_message,
+        withdrawal_message,
+    )
+
+    w = X.world.__wrapped__()
+    liq_order = make_order("alice", 1, is_buying=1, amt_syn=100, amt_col=5000, nonce=20)
+    buy = make_order("alice", 1, 1, amt_syn=10, amt_col=500, fee=50, nonce=95)
+    sell = make_order("bob", 2, 0, amt_syn=10, amt_col=400, fee=40, nonce=96)
+
+    base = OrderBase(
+        nonce=7, public_key=PUB["alice"], expiration_timestamp=2_000_000,
+        signature_r=0, signature_s=0,
+    )
+    tr = Transfer(
+        base=base, sender_position_id=1, receiver_public_key=PUB["bob"],
+        receiver_position_id=2, amount=100, asset_id=COLLATERAL,
+    )
+    r, s = sign(transfer_message(tr, 0, fast_pedersen_hash), KEYS["alice"])
+    tr = replace(tr, base=replace(base, signature_r=r, signature_s=s))
+
+    wdb = OrderBase(
+        nonce=8, public_key=PUB["bob"], expiration_timestamp=2_000_000,
+        signature_r=0, signature_s=0,
+    )
+    wd = Withdrawal(base=wdb, position_id=2, amount=50, owner_key=PUB["bob"])
+    r, s = sign(withdrawal_message(wd, COLLATERAL, fast_pedersen_hash), KEYS["bob"])
+    wd = replace(wd, base=replace(wdb, signature_r=r, signature_s=s))
+
+    txs = (
+        Deposit(PUB["alice"], 1, 2500),
+        Trade(buy, sell, 450, 10, 5, 4),
+        tr,
+        wd,
+        Liquidate(liq_order, 3, 30, 100, 0),
+        Deleverage(4, 5, BTC, 100, 40, 1),
+        ForcedTrade(
+            PUB["alice"], PUB["bob"], 1, 2, BTC, 1000, 10, 1, 99, is_valid=1
+        ),
+        ForcedWithdrawal(PUB["alice"], 1, 500, is_valid=1),
+    )
+    pi = PE.ProgramInput(
+        general_config=w["config"],
+        prev_shared_state=w["prev_shared"],
+        minimum_expiration_timestamp=1_000,
+        txs=txs,
+        signed_min_oracle_prices=w["min_prices"],
+        signed_max_oracle_prices=w["max_prices"],
+        end_system_time=w["t0"],
+        positions=dict(w["positions"]),
+        orders={},
+    )
+    proofs, result = prove_batch_execution(pi, blowup=4, n_queries=2, prove=False)
+    # trade (2 sides) + liquidator order = 3 link executions; the transfer
+    # and withdrawal land in the aux table; liquidate + deleverage gate
+    # through the threshold surface.
+    assert proofs.order_link_n_execs == 3
+    assert sorted(rw[0] for rw in proofs.aux_witnesses) == ["wd", "xfer"]
+    assert len(proofs.fulfillment_claims) == 5
+    assert proofs.threshold_n_checks == 3
+    assert proofs.transition_n_checks == 16
+    assert verify_batch_execution(
+        proofs, context=batch_public_context(pi, result)
+    )
