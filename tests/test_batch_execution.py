@@ -332,18 +332,14 @@ def test_funding_public_surface():
     assert not P._verify_funding_tables(consistent, bad_ctx)
 
 
-@pytest.fixture(scope="module")
-def mixed_collect():
+def mixed_program_input():
     """A batch mixing limit-order fills with transfer-class fulfillment
-    accesses (transfer, conditional transfer, withdrawal), collect-only:
-    exercises the aux-witness claims partition end to end without any
-    STARK proving."""
+    accesses (transfer, conditional transfer, withdrawal)."""
     from dataclasses import replace
 
     import test_perpetual_engine as E
     from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash, sign
     from stark_perpetual_tpu.models.perpetual import engine as PE
-    from stark_perpetual_tpu.models.perpetual.prove import prove_batch_execution
     from stark_perpetual_tpu.models.perpetual.transactions import (
         ConditionalTransfer,
         Deposit,
@@ -409,7 +405,18 @@ def mixed_collect():
         positions=dict(w["positions"]),
         orders={},
     )
-    return prove_batch_execution(pi, blowup=4, n_queries=2, prove=False)
+    return pi
+
+
+@pytest.fixture(scope="module")
+def mixed_collect():
+    """mixed_program_input proved collect-only: exercises the aux-witness
+    claims partition end to end without any STARK proving."""
+    from stark_perpetual_tpu.models.perpetual.prove import prove_batch_execution
+
+    return prove_batch_execution(
+        mixed_program_input(), blowup=4, n_queries=2, prove=False
+    )
 
 
 def test_mixed_batch_aux_claims_partition(mixed_collect):
@@ -565,3 +572,22 @@ def test_everything_batch_collect():
     assert verify_batch_execution(
         proofs, context=batch_public_context(pi, result)
     )
+
+
+@pytest.mark.slow
+def test_mixed_batch_proves_for_real():
+    """Nightly: the mixed trade+transfer+withdrawal batch proves its
+    business AIRs for real (the bus AIRs schedule transfer-class accesses
+    exactly like fills; the link AIR only sees the fill subset)."""
+    from stark_perpetual_tpu.models.perpetual.prove import (
+        prove_batch_execution,
+        verify_batch_execution,
+    )
+
+    pi = mixed_program_input()
+    proofs, _res = prove_batch_execution(
+        pi, blowup=4, n_queries=2, prove_builtins=False
+    )
+    assert proofs.fulfillment_proof is not None
+    assert proofs.order_link_proof is not None
+    assert verify_batch_execution(proofs)
