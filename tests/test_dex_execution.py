@@ -245,3 +245,21 @@ def test_vault_air_guards():
             [VaultAccess(("l2", 1), "set", 111, 5, 50, 70)],
             {("l2", 1): (100, 111, 5)},
         ).trace()
+
+
+def test_sample_dex_input_collect():
+    """The public DEX sample factory yields a provable batch whose
+    execution proof verifies from public inputs (collect-only here; the
+    module's `proven` fixture covers real proofs over the richer batch)."""
+    from stark_perpetual_tpu.models.dex.prove import (
+        prove_dex_execution,
+        verify_dex_execution,
+    )
+    from stark_perpetual_tpu.models.dex.sample import sample_dex_input
+
+    proofs, result = prove_dex_execution(
+        sample_dex_input(), blowup=4, n_queries=4, prove=False
+    )
+    assert proofs.link_n_execs == 2  # one settlement, two L2 legs
+    assert len(proofs.aux_witnesses) == 1  # the transfer
+    assert verify_dex_execution(proofs)
