@@ -27,7 +27,9 @@ from stark_perpetual_tpu.ops.pedersen import pedersen_call_log
 __all__ = [
     "BatchBuiltinProofs",
     "DexExecutionProofs",
+    "DexPublicContext",
     "dex_aux_claims_from_witnesses",
+    "dex_public_context",
     "dex_aux_public_surface",
     "prove_dex_builtins",
     "prove_dex_commitments",
@@ -122,8 +124,10 @@ class DexExecutionProofs:
     public transfer witness (``dex_aux_claims_from_witnesses``) — exact
     multiset equality, so no fill can hide among the transfers to escape
     the fairness proof. The msg == 0 bucket (L1 orders, unique-minting
-    marks) carries no signature by construction and remains justified by
-    the on-chain order-message outputs (main.cairo's output segment).
+    marks) carries no signature by construction; with a
+    ``DexPublicContext`` (the on-chain L1 order messages + minted asset
+    ids) the verifier covers that bucket exactly too, so all three claim
+    kinds are bound to public data.
     """
 
     builtins: BatchBuiltinProofs
@@ -244,6 +248,121 @@ def dex_aux_claims_from_witnesses(rows):
         [k + (mu,) for k, mu in sorted(claims.items())],
         [k + (mu,) for k, mu in sorted(diffs.items())],
     )
+
+
+@dataclass(frozen=True)
+class DexPublicContext:
+    """Derived-public context for ``verify_dex_execution``.
+
+    Everything here is on-chain data: the serialized L1 order messages
+    are words of the program output (message_l1_order.cairo:12-72), and
+    the minted asset ids appear in the batch's on-chain vault diffs
+    (execute_offchain_minting.cairo). With a context, the UNSIGNED claims
+    bucket (msg == 0) is no longer host-trusted: every row must be an
+    emitted L1 order execution or a unique-minting mark, covered exactly.
+    """
+
+    l1_order_messages: tuple = ()  # serialized 7-word tuples, one per exec
+    minted_asset_ids: tuple = ()
+
+
+def dex_public_context(result) -> DexPublicContext:
+    """Assemble the public context from a batch run result (the verifier
+    would read the same words off the program output)."""
+    from stark_perpetual_tpu.models.dex.engine import MINTING_BIT
+
+    # Minted asset ids ride the on-chain vault diffs (amount-1 diffs of a
+    # mintable token id); the engine's vault access log carries them.
+    minted = [
+        token
+        for space, _cell, kind, _key, token, op1, _op2 in (
+            result.vault_access_log or []
+        )
+        if space == "l2" and kind == "diff" and op1 == 1 and token >= MINTING_BIT
+    ]
+    return DexPublicContext(
+        l1_order_messages=tuple(
+            tuple(m) for m in result.outputs.l1_order_messages
+        ),
+        minted_asset_ids=tuple(minted),
+    )
+
+
+def _unpack_l1_order(words):
+    """Invert engine._serialize_l1_limit_order (message_l1_order.cairo)."""
+    from stark_perpetual_tpu.models.dex.engine import LimitOrder, OrderBase
+
+    if len(words) != 7 or words[1] != 5:
+        raise ValueError(f"malformed l1 order message: {words!r}")
+    eth_key, _n, asset_sell, asset_buy, asset_fee, p0, p1 = words
+    nonce = p0 % 2**32
+    q = p0 // 2**32
+    amount_fee = q % 2**64
+    q //= 2**64
+    amount_buy = q % 2**64
+    amount_sell = q // 2**64
+    q = p1 // 2**17
+    exp = q % 2**32
+    q //= 2**32
+    vault_buy = q % 2**64
+    q //= 2**64
+    vault_sell = q % 2**64
+    q //= 2**64
+    vault_fee = q % 2**64
+    if q // 2**64 != 3:
+        raise ValueError("bad l1 order packed-word tag")
+    return LimitOrder(
+        base=OrderBase(nonce=nonce, public_key=eth_key, expiration_timestamp=exp),
+        amount_buy=amount_buy, amount_sell=amount_sell, amount_fee=amount_fee,
+        asset_id_buy=asset_buy, asset_id_sell=asset_sell, asset_id_fee=asset_fee,
+        vault_buy=vault_buy, vault_sell=vault_sell, vault_fee=vault_fee,
+        is_l1=True,
+    )
+
+
+def _verify_unsigned_claims(proofs, context) -> bool:
+    """The msg == 0 claims must be covered EXACTLY by the context's
+    emitted L1 order executions and unique-minting marks."""
+    from collections import Counter
+
+    from stark_perpetual_tpu.crypto.signature import fast_pedersen_hash
+    from stark_perpetual_tpu.models.dex.engine import (
+        MINT_TREE_INDEX_SALT,
+        limit_order_message,
+    )
+
+    remaining: Counter = Counter()
+    for msg, oid, full, mu in proofs.order_claims:
+        if msg == 0:
+            remaining[(oid, full)] += mu
+    for words in context.l1_order_messages:
+        try:
+            order = _unpack_l1_order(words)
+        except ValueError:
+            return False
+        matched = False
+        for with_fee in (True, False):
+            oid = limit_order_message(
+                order if with_fee else _replace_fee_format(order)
+            )
+            if remaining.get((oid, order.amount_sell), 0) > 0:
+                remaining[(oid, order.amount_sell)] -= 1
+                matched = True
+                break
+        if not matched:
+            return False
+    for token in context.minted_asset_ids:
+        oid = fast_pedersen_hash(MINT_TREE_INDEX_SALT, token)
+        if remaining.get((oid, 1), 0) <= 0:
+            return False
+        remaining[(oid, 1)] -= 1
+    return all(v == 0 for v in remaining.values())
+
+
+def _replace_fee_format(order):
+    from dataclasses import replace
+
+    return replace(order, with_fee=False)
 
 
 def _order_air_feed(result):
@@ -502,8 +621,16 @@ def _diffs_covered_typed(diff_claims, vault_accesses) -> bool:
     return all(v >= 0 for v in have.values())
 
 
-def verify_dex_execution(proofs: DexExecutionProofs) -> bool:
-    """Re-derive every AIR from the public inputs and check all proofs."""
+def verify_dex_execution(
+    proofs: DexExecutionProofs,
+    context: Optional[DexPublicContext] = None,
+) -> bool:
+    """Re-derive every AIR from the public inputs and check all proofs.
+
+    With ``context`` (on-chain L1 order messages + minted asset ids) the
+    unsigned claims bucket is additionally bound: every msg == 0 claim
+    must be an emitted L1 order execution or a unique-minting mark,
+    covered exactly. Without it that bucket stays host-trusted."""
     from stark_perpetual_tpu.models.air import verify_stark
     from stark_perpetual_tpu.models.dex.vault_air import DexVaultCellAir
     from stark_perpetual_tpu.models.perpetual.fulfillment_air import (
@@ -575,6 +702,8 @@ def verify_dex_execution(proofs: DexExecutionProofs) -> bool:
     ) != sorted(_multiset_add_rows(signed_claims, [])):
         return False
     if not _diffs_covered_typed(aux_diffs, proofs.vault_accesses):
+        return False
+    if context is not None and not _verify_unsigned_claims(proofs, context):
         return False
     if proofs.link_n_execs:
         from stark_perpetual_tpu.models.dex.settlement_link_air import (

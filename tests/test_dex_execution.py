@@ -263,3 +263,38 @@ def test_sample_dex_input_collect():
     assert proofs.link_n_execs == 2  # one settlement, two L2 legs
     assert len(proofs.aux_witnesses) == 1  # the transfer
     assert verify_dex_execution(proofs)
+
+
+def test_dex_unsigned_claims_public_binding(proven):
+    """With a DexPublicContext the unsigned bucket is bound to on-chain
+    data: every msg == 0 claim must be an emitted L1 order execution or a
+    unique-minting mark, covered exactly in both directions."""
+    from dataclasses import replace as dc
+
+    from stark_perpetual_tpu.models.dex.prove import (
+        DexPublicContext,
+        dex_public_context,
+        verify_dex_execution,
+    )
+
+    proofs, result = proven
+    ctx = dex_public_context(result)
+    assert len(ctx.l1_order_messages) == 1 and len(ctx.minted_asset_ids) == 1
+    assert verify_dex_execution(proofs, context=ctx)
+    # A fabricated unsigned claim has no on-chain backing.
+    forged = list(proofs.order_claims) + [(0, 424242, 7, 1)]
+    assert not verify_dex_execution(dc(proofs, order_claims=forged), context=ctx)
+    # A claimed L1 execution whose message was never emitted on-chain.
+    assert not verify_dex_execution(
+        proofs,
+        context=DexPublicContext(
+            l1_order_messages=(), minted_asset_ids=ctx.minted_asset_ids
+        ),
+    )
+    # A mint mark not present in the on-chain vault diffs.
+    assert not verify_dex_execution(
+        proofs,
+        context=DexPublicContext(
+            l1_order_messages=ctx.l1_order_messages, minted_asset_ids=()
+        ),
+    )
